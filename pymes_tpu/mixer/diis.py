@@ -1,0 +1,112 @@
+"""DIIS (Pulay) convergence acceleration, on-device.
+
+Functionally equivalent to the reference mixer (``pymes/mixer/diis.py:9``):
+a sliding window of the last ``dim_space`` (error, amplitude) pairs, a
+bordered least-squares system ``L c = (0,…,0,−1)`` with
+``L[i,j] = Re⟨err_i, err_j⟩`` and a −1 Lagrange border, solved through an
+eigendecomposition with linear-dependence pruning (|λ| > 1e−12), and the
+mixed amplitudes ``Σ_a c_a amp_a``.
+
+TPU-native design: instead of Python lists of tensors, the state is a pair of
+fixed-shape ring buffers ``(m, N)`` carried through ``lax.while_loop`` — the
+whole CC iteration, DIIS included, stays inside one jitted fixed-point loop.
+Unused slots are masked, making the masked L-matrix block the identity so
+their coefficients vanish exactly.
+
+A stateful :class:`DIIS` wrapper preserves the reference's ``mix(errors,
+amplitudes)`` list API for host-driven loops.
+"""
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+import numpy as np
+
+
+class DIISState(NamedTuple):
+    """Ring buffers of flattened amplitudes/errors plus an insertion counter."""
+
+    amps: jnp.ndarray   # (m, N)
+    errs: jnp.ndarray   # (m, N)
+    count: jnp.ndarray  # scalar int — total number of insertions so far
+
+
+def init_state(dim_space: int, n_flat: int, dtype) -> DIISState:
+    return DIISState(
+        amps=jnp.zeros((dim_space, n_flat), dtype=dtype),
+        errs=jnp.zeros((dim_space, n_flat), dtype=dtype),
+        count=jnp.zeros((), dtype=jnp.int32),
+    )
+
+
+def mix(state: DIISState, err_flat: jnp.ndarray, amp_flat: jnp.ndarray):
+    """Insert (err, amp), solve the DIIS system, return (new_state, mixed_amp).
+
+    Pure function of fixed-shape arrays — safe inside jit/while_loop/shard_map.
+    """
+    m = state.amps.shape[0]
+    slot = state.count % m
+    amps = state.amps.at[slot].set(amp_flat)
+    errs = state.errs.at[slot].set(err_flat)
+    count = state.count + 1
+    n_valid = jnp.minimum(count, m)
+
+    valid = (jnp.arange(m) < n_valid).astype(amps.real.dtype)
+
+    # B[i,j] = Re<err_i, err_j>, masked outside the valid window
+    B = jnp.real(errs.conj() @ errs.T)
+    mask2 = valid[:, None] * valid[None, :]
+    B = B * mask2
+
+    # bordered system: L = [[B, -1], [-1, 0]] on valid rows; identity on
+    # invalid rows so the solve stays well-posed with c_invalid = 0
+    L = jnp.zeros((m + 1, m + 1), dtype=B.dtype)
+    L = L.at[:m, :m].set(B + jnp.diag(1.0 - valid))
+    L = L.at[:m, m].set(-valid)
+    L = L.at[m, :m].set(-valid)
+
+    rhs = jnp.zeros(m + 1, dtype=B.dtype).at[m].set(-1.0)
+
+    # eigendecomposition solve with pruning of (near-)singular directions,
+    # mirroring the reference's linear-dependence handling (diis.py:85-95)
+    w, v = jnp.linalg.eigh(L)
+    w_safe = jnp.where(jnp.abs(w) > 1e-12, w, 1.0)
+    inv_w = jnp.where(jnp.abs(w) > 1e-12, 1.0 / w_safe, 0.0)
+    c = (v * inv_w) @ (v.T @ rhs)
+
+    coeff = (c[:m] * valid).astype(amps.dtype)
+    mixed = coeff @ amps
+    return DIISState(amps=amps, errs=errs, count=count), mixed
+
+
+class DIIS:
+    """Stateful wrapper with the reference list-of-tensors API.
+
+    ``mix(errors, amplitudes)`` takes lists of tensors (e.g. ``[dT1, dT2]``,
+    ``[T1, T2]``) and returns the mixed amplitudes as a list with the original
+    shapes, like ``pymes/mixer/diis.py:16``.
+    """
+
+    def __init__(self, dim_space: int = 5):
+        self.dim_space = dim_space
+        self._state = None
+        self._shapes = None
+        self._sizes = None
+
+    def reset(self):
+        self._state = None
+
+    def mix(self, error, amplitude):
+        err_flat = jnp.concatenate([jnp.ravel(e) for e in error])
+        amp_flat = jnp.concatenate([jnp.ravel(a) for a in amplitude])
+        if self._state is None:
+            self._shapes = [np.shape(a) for a in amplitude]
+            self._sizes = [int(np.prod(s)) for s in self._shapes]
+            self._state = init_state(self.dim_space, amp_flat.size,
+                                     amp_flat.dtype)
+        self._state, mixed = mix(self._state, err_flat, amp_flat)
+        out, off = [], 0
+        for shape, size in zip(self._shapes, self._sizes):
+            out.append(mixed[off:off + size].reshape(shape))
+            off += size
+        return out

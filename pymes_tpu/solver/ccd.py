@@ -1,0 +1,290 @@
+"""CCD / DCD (+ Brueckner, drCCD dispatch) ground-state solver.
+
+Equation parity with the reference (``pymes/solver/ccd.py:24,164,256``)
+including the transcorrelated (non-Hermitian) generality: ``V_ijab`` and
+``V_abij`` enter as independent blocks, and the DCD flag drops the quadratic
+ring/ladder renormalisation terms (Kats-Manby distinguishable-cluster
+approximation).
+
+TPU-native architecture (not a port):
+
+* :func:`doubles_residual` is a pure jitted function of (Fock, T2, V-blocks) —
+  ~20 einsums XLA fuses and maps onto the MXU; the particle-particle ladder
+  ``V_abcd·T_cdij`` (the FLOP hot spot) is routed through
+  :func:`pymes_tpu.ops.ladder.ppl_contract` so single-chip Pallas and
+  multi-chip sharded paths can swap in.
+* the Jacobi + DIIS iteration is a single ``lax.while_loop`` fixed point
+  carried entirely on device (T2, DIIS ring buffer, energy, iteration
+  counter); one scalar (converged energy) syncs back to host at the end.
+* energies are evaluated with the same direct/exchange split as the
+  reference for oracle comparison.
+"""
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pymes_tpu.log import print_logging_info
+from pymes_tpu.mixer import diis
+from pymes_tpu.ops.ladder import ppl_contract
+from pymes_tpu.solver import mp2
+
+
+class CCDBlocks(NamedTuple):
+    """The 7 integral blocks entering the doubles amplitude equation."""
+
+    klij: jnp.ndarray
+    ijab: jnp.ndarray
+    abij: jnp.ndarray
+    iajb: jnp.ndarray
+    iabj: jnp.ndarray
+    abcd: jnp.ndarray
+    iabc: jnp.ndarray = None  # unused by CCD; placeholder for dressing reuse
+
+
+def blocks_from_full(no, t_V_pqrs):
+    o, v = slice(None, no), slice(no, None)
+    return CCDBlocks(
+        klij=t_V_pqrs[o, o, o, o],
+        ijab=t_V_pqrs[o, o, v, v],
+        abij=t_V_pqrs[v, v, o, o],
+        iajb=t_V_pqrs[o, v, o, v],
+        iabj=t_V_pqrs[o, v, v, o],
+        abcd=t_V_pqrs[v, v, v, v],
+    )
+
+
+def blocks_from_dict(dict_t_V):
+    return CCDBlocks(klij=dict_t_V["klij"], ijab=dict_t_V["ijab"],
+                     abij=dict_t_V["abij"], iajb=dict_t_V["iajb"],
+                     iabj=dict_t_V["iabj"], abcd=dict_t_V["abcd"])
+
+
+@partial(jax.jit, static_argnames=("is_dcd", "is_bruekner"))
+def doubles_residual(t_fock_ab, t_fock_ij, t_T_abij, blocks: CCDBlocks,
+                     is_dcd=False, is_bruekner=False):
+    """CCD/DCD doubles residual R_abij.
+
+    Same diagrams as ``pymes/solver/ccd.py:164``: particle-particle ladder,
+    hole-hole ladder (+ its T2 renormalisation unless DCD), ring and
+    crossed-ring terms with the spin-adapted 2T−T^x combination, quadratic
+    ring terms (unless DCD), and the X_ac/X_ki dressed-Fock contributions —
+    symmetrised at the end by P(ab,ij).
+    """
+    V = blocks
+    tilde_T = 2.0 * t_T_abij - jnp.einsum("baij->abij", t_T_abij)
+
+    # hole-hole ladder intermediate (T2-renormalised unless DCD)
+    I_klij = V.klij
+    if not is_dcd:
+        I_klij = I_klij + jnp.einsum("klcd,cdij->klij", V.ijab, t_T_abij)
+
+    R = V.abij
+    R = R + jnp.einsum("klij,abkl->abij", I_klij, t_T_abij)
+    R = R + ppl_contract(V.abcd, t_T_abij)  # particle-particle ladder (hot)
+
+    if not is_dcd:
+        X_alcj = jnp.einsum("klcd,adkj->alcj", V.ijab, t_T_abij)
+        R = R + jnp.einsum("alcj,cbil->abij", X_alcj, t_T_abij)
+
+    # quadratic ring with spin-adapted amplitudes
+    X_cbkj = jnp.einsum("klcd,dblj->cbkj", V.ijab, tilde_T)
+    R = R + jnp.einsum("acik,cbkj->abij", tilde_T, X_cbkj)
+
+    # dressed one-particle intermediates; the reference applies the ±1/2
+    # T~·V term once as the base dressing and once more in the non-DCD
+    # branch (net factor 1 for CCD, 1/2 for DCD, 0 for Brueckner)
+    coeff = (0.0 if is_bruekner else 0.5) + (0.0 if is_dcd else 0.5)
+    X_ac = t_fock_ab - coeff * jnp.einsum("adkl,lkdc->ac", tilde_T, V.ijab)
+    X_ki = t_fock_ij + coeff * jnp.einsum("cdil,lkdc->ki", tilde_T, V.ijab)
+
+    Ex = jnp.einsum("ac,cbij->abij", X_ac, t_T_abij)
+    Ex = Ex - jnp.einsum("ki,abkj->abij", X_ki, t_T_abij)
+    Ex = Ex - jnp.einsum("kaic,cbkj->abij", V.iajb, t_T_abij)
+    Ex = Ex - jnp.einsum("kbic,ackj->abij", V.iajb, t_T_abij)
+    Ex = Ex + jnp.einsum("acik,kbcj->abij", tilde_T, V.iabj)
+
+    if not is_dcd:
+        X_alci = jnp.einsum("klcd,daki->alci", V.ijab, t_T_abij)
+        Ex = Ex - jnp.einsum("alci,cblj->abij", X_alci, t_T_abij)
+        Ex = Ex + jnp.einsum("alci,bclj->abij", X_alci, t_T_abij)
+
+    R = R + Ex + jnp.einsum("abij->baji", Ex)  # P(ab,ij) symmetrisation
+    return R
+
+
+@jax.jit
+def ccd_energy(t_T_abij, t_V_ijab):
+    """(direct, exchange) CCD correlation energy pieces."""
+    e_dir = 2.0 * jnp.einsum("abij,ijab->", t_T_abij, t_V_ijab)
+    e_exc = -1.0 * jnp.einsum("abij,ijba->", t_T_abij, t_V_ijab)
+    return e_dir, e_exc
+
+
+class CCDCarry(NamedTuple):
+    T: jnp.ndarray
+    eps_i: jnp.ndarray
+    eps_a: jnp.ndarray
+    diis: diis.DIISState
+    e_last: jnp.ndarray
+    dE: jnp.ndarray
+    it: jnp.ndarray
+
+
+@partial(jax.jit, static_argnames=("no", "is_dcd", "is_diis", "is_dr_ccd",
+                                   "is_bruekner", "max_iter", "dim_space",
+                                   "log_iterations"))
+def ccd_solve_jit(t_fock_pq, blocks: CCDBlocks, no, t_T0_abij,
+                  level_shift=0.0, delta_e=1e-8, max_iter=50,
+                  is_dcd=False, is_diis=True, is_dr_ccd=False,
+                  is_bruekner=False, dim_space=6, log_iterations=False):
+    """Fully on-device CCD fixed point: ``lax.while_loop`` over Jacobi + DIIS.
+
+    Returns (e_corr, T_abij, eps_i, eps_a, dE, n_iter).
+    """
+    no = int(no)
+    eps_i0 = jnp.diagonal(t_fock_pq)[:no]
+    eps_a0 = jnp.diagonal(t_fock_pq)[no:]
+    f_ab = t_fock_pq[no:, no:]
+    f_ij = t_fock_pq[:no, :no]
+    nv = eps_a0.shape[0]
+
+    e0_dir, e0_exc = ccd_energy(t_T0_abij, blocks.ijab)
+    e0 = jnp.real(e0_dir + e0_exc)
+
+    n_flat = nv * nv * no * no
+    carry0 = CCDCarry(
+        T=t_T0_abij,
+        eps_i=eps_i0, eps_a=eps_a0,
+        diis=diis.init_state(dim_space, n_flat, t_T0_abij.dtype),
+        e_last=e0,
+        dE=jnp.abs(e0) + 1.0,
+        it=jnp.zeros((), jnp.int32),
+    )
+
+    def cond(c: CCDCarry):
+        return (jnp.abs(c.dE) > delta_e) & (c.it <= max_iter)
+
+    def body(c: CCDCarry):
+        if is_dr_ccd:
+            from pymes_tpu.solver import drccd
+            R = drccd.residual(c.eps_i, c.eps_a, c.T, blocks.abij,
+                               blocks.iabj, blocks.ijab)
+        else:
+            R = doubles_residual(f_ab, f_ij, c.T, blocks,
+                                 is_dcd=is_dcd, is_bruekner=is_bruekner)
+
+        eps_i, eps_a = c.eps_i, c.eps_a
+        if is_bruekner:
+            tilde_T = 2.0 * c.T - jnp.einsum("baij->abij", c.T)
+            eps_i = eps_i + 0.5 * jnp.einsum("ilcd,cdil->i", blocks.ijab,
+                                             tilde_T)
+            eps_a = eps_a - 0.5 * jnp.einsum("klad,adkl->a", blocks.ijab,
+                                             tilde_T)
+
+        D = (eps_i[None, None, :, None] + eps_i[None, None, None, :]
+             - eps_a[:, None, None, None] - eps_a[None, :, None, None])
+        dT = R / (D + level_shift)
+        T = c.T + dT
+
+        diis_state = c.diis
+        if is_diis:
+            diis_state, mixed = diis.mix(diis_state, dT.ravel(), T.ravel())
+            T = mixed.reshape(T.shape)
+
+        e_dir, e_exc = ccd_energy(T, blocks.ijab)
+        e = jnp.real(e_dir + e_exc)
+        dE = e - c.e_last
+        if log_iterations:
+            jax.debug.print(
+                "    CCD it {it}: E = {e:.12f}  dE = {de:.3e}",
+                it=c.it + 1, e=e, de=dE)
+        return CCDCarry(T=T, eps_i=eps_i, eps_a=eps_a, diis=diis_state,
+                        e_last=e, dE=dE, it=c.it + 1)
+
+    out = jax.lax.while_loop(cond, body, carry0)
+    return out.e_last, out.T, out.eps_i, out.eps_a, out.dE, out.it
+
+
+class CCD:
+    """Reference-API CCD/DCD solver (``pymes/solver/ccd.py:10``).
+
+    ``solve(t_fock_pq, t_V_pqrs, level_shift=0, amps=None, **kwargs)`` returns
+    ``{"ccd e", "t2 amp", "hole e", "particle e", "dE"}``.
+    """
+
+    def __init__(self, no, delta_e=1e-8, is_dcd=False, is_diis=True,
+                 is_dr_ccd=False, is_bruekner=False):
+        self.no = int(no)
+        self.delta_e = delta_e
+        self.is_dcd = is_dcd
+        self.is_diis = is_diis
+        self.is_dr_ccd = is_dr_ccd
+        self.is_bruekner = is_bruekner
+        self.max_iter = 50
+        self.dim_space = 6
+        self.log_iterations = False
+
+    def solve(self, t_fock_pq, t_V_pqrs, level_shift=0.0, sp=0, amps=None,
+              **kwargs):
+        algo_name = "ccd.solve"
+        max_iter = int(kwargs.get("max_iter", self.max_iter))
+        delta_e = float(kwargs.get("delta_e", self.delta_e))
+
+        no = self.no
+        t_fock_pq = jnp.asarray(t_fock_pq)
+        if isinstance(t_V_pqrs, dict):
+            blocks = blocks_from_dict(t_V_pqrs)
+        elif isinstance(t_V_pqrs, CCDBlocks):
+            blocks = t_V_pqrs
+        else:
+            blocks = blocks_from_full(no, jnp.asarray(t_V_pqrs))
+
+        eps_i = jnp.diagonal(t_fock_pq)[:no]
+        eps_a = jnp.diagonal(t_fock_pq)[no:]
+
+        print_logging_info(algo_name)
+        print_logging_info("Using DCD: ", self.is_dcd, level=1)
+        print_logging_info("Using dr-CCD: ", self.is_dr_ccd, level=1)
+        print_logging_info("Using DIIS mixer: ", self.is_diis, level=1)
+        print_logging_info("Using Brueckner: ", self.is_bruekner, level=1)
+
+        e_mp2, t_T_abij = mp2.solve(eps_i, eps_a, blocks.ijab, blocks.abij,
+                                    level_shift)
+        print_logging_info("MP2 energy = {:.12f}".format(float(jnp.real(e_mp2))),
+                           level=1)
+        if amps is not None:
+            t_T_abij = jnp.asarray(amps)
+
+        e, T, eps_i, eps_a, dE, n_iter = ccd_solve_jit(
+            t_fock_pq, blocks, int(no), t_T_abij,
+            level_shift=level_shift, delta_e=delta_e, max_iter=max_iter,
+            is_dcd=self.is_dcd, is_diis=self.is_diis,
+            is_dr_ccd=self.is_dr_ccd, is_bruekner=self.is_bruekner,
+            dim_space=self.dim_space, log_iterations=self.log_iterations)
+
+        n_iter = int(n_iter)
+        if n_iter > max_iter:
+            print_logging_info("A converged solution is not found!", level=1)
+        print_logging_info(
+            "CCD correlation energy = {:.12f} ({} iterations)".format(
+                float(e), n_iter), level=1)
+        return {"ccd e": float(np.real(np.asarray(e))), "t2 amp": T,
+                "hole e": eps_i, "particle e": eps_a,
+                "dE": float(np.real(np.asarray(dE)))}
+
+    # expose the pure residual with the reference's method signature
+    def get_residual(self, t_fock_pq, t_T_abij, t_V_klij, t_V_ijab,
+                     t_V_abij, t_V_iajb, t_V_iabj, t_V_abcd):
+        no = self.no
+        blocks = CCDBlocks(klij=t_V_klij, ijab=t_V_ijab, abij=t_V_abij,
+                           iajb=t_V_iajb, iabj=t_V_iabj, abcd=t_V_abcd)
+        return doubles_residual(t_fock_pq[no:, no:], t_fock_pq[:no, :no],
+                                t_T_abij, blocks, is_dcd=self.is_dcd,
+                                is_bruekner=self.is_bruekner)
+
+    def get_energy(self, t_T_abij, t_V_ijab):
+        return ccd_energy(t_T_abij, t_V_ijab)
