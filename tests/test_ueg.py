@@ -1,0 +1,125 @@
+"""UEG model golden tests.
+
+* CCD/DCD on the 14-electron UEG at rs=0.5, cutoff=5
+  (oracles ``pymes/test/test_ueg/test_ccd_dcd.py:208-209``).
+* TC (gaskell) HF / 3-body / MP2 at Γ and at a twist
+  (oracles ``pymes/test/test_ueg/test_ta_ueg.py:29,41``).
+* Analytic vs numeric cross-validation of the 3-body single contractions
+  (``pymes/test/test_ueg/test_3body_single_contractions.py``).
+"""
+
+import numpy as np
+import pytest
+
+from pymes_tpu.mean_field import hf
+from pymes_tpu.models import ueg
+from pymes_tpu.solver import ccd, mp2
+
+
+def _ueg_coulomb_system(nel=14, rs=0.5, cutoff=5):
+    u = ueg.UEG(nel, nel // 2, nel // 2, rs)
+    u.init_single_basis(cutoff)
+    V = u.eval_2b_integrals()
+    kinetic = u.kinetic_energies()
+    return u, V, kinetic
+
+
+def test_ueg_ccd_dcd():
+    u, V, kinetic = _ueg_coulomb_system()
+    no = u.n_ele // 2
+    fock = hf.construct_hf_matrix(no, np.diag(kinetic), V)
+
+    solver = ccd.CCD(no, is_diis=True)
+    res = solver.solve(fock, V, level_shift=-1.0, max_iter=60)
+    assert abs(res["ccd e"] - (-0.5120153512190824)) < 1e-6
+
+    solver = ccd.CCD(no, is_dcd=True, is_diis=True)
+    res_dcd = solver.solve(fock, V, level_shift=-1.0, max_iter=60,
+                           amps=res["t2 amp"])
+    assert abs(res_dcd["ccd e"] - (-0.515296499349519)) < 1e-6
+
+
+def _tc_mp2_driver(shift):
+    nel, rs = 14, 1.0
+    k_f = 1.0 / 2 * (3 * nel / np.pi) ** (1.0 / 3)
+    cutoff = (k_f * 1.2) ** 2
+    no = nel // 2
+    u = ueg.UEG(nel, no, no, rs)
+    u.init_single_basis(cutoff, shift)
+    u.gamma = None
+    u.k_cutoff = 1.0
+
+    kinetic = u.kinetic_energies()
+    t_h_pq = np.diag(kinetic)
+    V = u.eval_2b_integrals(correlator=u.gaskell, is_only_2b=True)
+    fock = np.asarray(hf.construct_hf_matrix(no, t_h_pq, V))
+    eps_i = fock.diagonal()[:no].copy()
+    eps_a = fock.diagonal()[no:].copy()
+    hf_e = float(hf.calc_hf_e(no, 0.0, t_h_pq, V))
+
+    contr_2b = u.double_contractions_in_3_body()
+    contr_3b = u.triple_contractions_in_3_body()
+    eps_i += contr_2b[:no]
+    eps_a += contr_2b[no:]
+
+    V = V + u.eval_2b_integrals(correlator=u.gaskell, is_rpa_approx=True)
+    mp2_e, _ = mp2.solve(eps_i, eps_a, V[:no, :no, no:, no:],
+                         V[no:, no:, :no, :no])
+    return hf_e, contr_3b, float(np.real(mp2_e))
+
+
+def test_tc_ueg_gamma_point():
+    hf_e, contr_3b, mp2_e = _tc_mp2_driver([0.0, 0.0, 0.0])
+    assert abs(hf_e - 7.59923631) < 1e-8
+    assert abs(contr_3b - 1.33429356) < 1e-8
+    assert abs(mp2_e - 0.89665277) < 1e-8
+
+
+def test_tc_ueg_twisted():
+    hf_e, contr_3b, mp2_e = _tc_mp2_driver([0.1, 0.25, 0.5])
+    assert abs(hf_e - 10.43225777093217) < 1e-8
+    assert abs(contr_3b - 1.1470242894883573) < 1e-8
+    assert abs(mp2_e - 0.234320519158) < 1e-8
+
+
+def test_3body_single_contractions_cross_check():
+    """Contract the full 6-index L numerically and compare to the
+    closed-form effective 2-body integral classes
+    (property test in the spirit of ``test_3body_single_contractions.py``).
+
+    Identities verified here (numeric = ½ × analytic for every class):
+      2 Σ_i L[o,p,i,r,s,i]        = ½ V(is_rpa_approx)
+      −2 Σ_i L[i,p,q,r,s,i]→qprs  = ½ V(is_exchange_1)
+      −2 Σ_i L[o,p,i,i,s,t]→opts  = ½ V(is_exchange_2)
+      −2 Σ_i L[o,i,q,i,s,t]→oqst  = ½ V(is_exchange_3)
+
+    Note: the reference's own test asserts a different RPA relation
+    (½(V_rpa − V_2b) with an (n−2)/n factor) that *fails on the reference
+    snapshot itself* — its ``is_rpa_approx`` branch no longer includes the
+    2-body terms the relation assumed.  The ½-identities above hold exactly
+    for both implementations.
+    """
+    nel, rs, cutoff = 2, 0.5, 1.0
+    no = nel // 2
+    u = ueg.UEG(nel, 1, 1, rs)
+    u.init_single_basis(cutoff)
+    u.gamma = None
+    u.k_cutoff = u.L / (2 * np.pi) * 2.3225029893472993 / rs
+
+    L = u.eval_3b_integrals(correlator=u.trunc, sp=0)
+
+    num_rpa = 2 * np.einsum("opqrsq->oprs", L[:, :, :no, :, :, :no])
+    V_rpa = u.eval_2b_integrals(correlator=u.trunc, is_rpa_approx=True, sp=0)
+    assert np.linalg.norm(num_rpa - 0.5 * V_rpa) < 1e-10
+
+    num_ex1 = -2 * np.einsum("opqrso->qprs", L[:no, :, :, :, :, :no])
+    an1 = u.eval_2b_integrals(correlator=u.trunc, is_exchange_1=True, sp=0)
+    assert np.linalg.norm(num_ex1 - 0.5 * an1) < 1e-10
+
+    num_ex2 = -2 * np.einsum("opqqst->opts", L[:, :, :no, :no, :, :])
+    an2 = u.eval_2b_integrals(correlator=u.trunc, is_exchange_2=True, sp=0)
+    assert np.linalg.norm(num_ex2 - 0.5 * an2) < 1e-10
+
+    num_ex3 = -2 * np.einsum("opqpst->oqst", L[:, :no, :, :no, :, :])
+    an3 = u.eval_2b_integrals(correlator=u.trunc, is_exchange_3=True, sp=0)
+    assert np.linalg.norm(num_ex3 - 0.5 * an3) < 1e-10
