@@ -1,0 +1,78 @@
+"""EOM-CCSD tests: pure-solver Davidson unit test against exact
+diagonalisation, and the LiH/3-21G golden excitation energies
+(``pymes/test/test_eom_ccsd/test_eom_ccsd.py:8-9``)."""
+
+import os
+
+import numpy as np
+import pytest
+
+from pymes_tpu.integral.partition import part_2_body_int
+from pymes_tpu.mean_field import hf
+from pymes_tpu.solver import ccsd, eom_ccsd
+from pymes_tpu.util import fcidump
+
+DATA = os.path.join(os.path.dirname(__file__), "data")
+
+
+class _MatrixEOM(eom_ccsd.EOM_CCSD):
+    """EOM solver with the sigma build replaced by a dense fake Hamiltonian
+    acting on the packed (u1, u2) vector (reference's fake-Ham harness,
+    ``eom_ccsd.py:387-416``)."""
+
+    def __init__(self, no, n_excit, ham):
+        super().__init__(no, n_excit=n_excit)
+        self.ham = ham
+
+    def _batched_sigma(self, f, dict_t_V, U1, U2, T2):
+        m, nv = U1.shape[0], U1.shape[1]
+        no = self.no
+        out1, out2 = [], []
+        for i in range(m):
+            u = np.concatenate([np.ravel(U1[i]), np.ravel(U2[i])])
+            w = self.ham @ u
+            out1.append(w[: nv * no].reshape(nv, no))
+            out2.append(w[nv * no:].reshape(nv, nv, no, no))
+        return np.stack(out1), np.stack(out2)
+
+
+def test_davidson_fake_hamiltonian():
+    rng = np.random.default_rng(7)
+    no, nv, n_excit = 1, 5, 3
+    dim = nv * no + nv * nv * no * no
+    ham = np.diag(np.arange(dim) * 0.3)
+    ham += rng.random((dim, dim)) - 0.5
+    ham = (ham + ham.T) / 2
+
+    e_target = np.sort(np.linalg.eigvals(ham).real)[:n_excit]
+
+    # fock whose gaps reproduce the singles diagonal (preconditioner)
+    fock = np.diag(np.concatenate([[0.0], ham.diagonal()[: nv]]))
+    solver = _MatrixEOM(no, n_excit, ham)
+    solver.max_iter = 1000
+    dict_V = part_2_body_int(no, np.zeros((no + nv,) * 4))
+    e = solver.solve(fock, dict_V, np.zeros((nv, nv, no, no)))
+    assert np.allclose(np.sort(e), e_target, atol=1e-6)
+
+
+@pytest.mark.slow
+def test_eom_ccsd_lih():
+    n_elec, nb, e_core, e_orb, h_pq, V_pqrs = fcidump.read(
+        os.path.join(DATA, "FCIDUMP.LiH.321g"))
+    no = n_elec // 2
+    fock = hf.construct_hf_matrix(no, h_pq, V_pqrs)
+
+    mycc = ccsd.CCSD(no)
+    mycc.max_iter = 200
+    res = mycc.solve(fock, V_pqrs, delta_e=1e-12, max_iter=200)
+    assert np.isclose(res["ccsd e"], -0.0190883270951031)
+
+    dict_t_V = part_2_body_int(no, V_pqrs)
+    f_dressed = mycc.get_T1_dressed_fock(fock, res["t1"], dict_t_V)
+    V_dressed = mycc.get_T1_dressed_V(res["t1"], dict_t_V)
+
+    solver = eom_ccsd.EOM_CCSD(no, n_excit=2)
+    solver.max_iter = 1000
+    e = solver.solve(f_dressed, V_dressed, res["t2"])
+    assert np.allclose(e, [0.1180867117168979, 0.154376205595602],
+                       atol=1e-7)

@@ -1,0 +1,168 @@
+"""FEAST and RT-EOM-CCSD solver tests on model Hamiltonians + a small
+molecular cross-check of FEAST vs Davidson.
+
+Mirrors the reference's fake-Hamiltonian harnesses
+(``feast_eom_ccsd.py:432-539``, ``rt_eom_ccsd.py:135-204``) with exact
+oracles from dense linear algebra.
+"""
+
+import os
+
+import numpy as np
+import pytest
+import scipy.linalg
+
+from pymes_tpu.integral.partition import part_2_body_int
+from pymes_tpu.mean_field import hf
+from pymes_tpu.solver import ccsd, eom_ccsd
+from pymes_tpu.solver.feast_eom_ccsd import FEAST_EOM_CCSD
+from pymes_tpu.solver.rt_eom_ccsd import RT_EOM_CCSD
+from pymes_tpu.util import fcidump
+
+DATA = os.path.join(os.path.dirname(__file__), "data")
+
+
+def _fake_nonsym_ham(rng, dim):
+    ham = np.diag(np.arange(dim) * 0.3)
+    ham += rng.random((dim, dim)) - 0.5
+    ham = (ham + ham.T) / 2
+    t = np.eye(dim) + rng.random((dim, dim)) * 0.01
+    return np.linalg.inv(t) @ ham @ t
+
+
+class _MatrixFEAST(FEAST_EOM_CCSD):
+    def __init__(self, no, ham, **kw):
+        super().__init__(no, **kw)
+        self.ham = ham
+
+    def _solve_node(self, f, dict_t_V, T2, b, ze, diag_vec, nv,
+                    is_rt=False, dt=0.0, phase=None):
+        rhs = b if phase is None else phase * b
+        if is_rt:
+            A = ze * np.eye(self.ham.shape[0]) - 1j * dt * self.ham
+        else:
+            A = ze * np.eye(self.ham.shape[0]) - self.ham
+        return np.linalg.solve(A, rhs)
+
+    def _apply_H(self, f, dict_t_V, u1, u2, T2):
+        nv = u1.shape[0]
+        no = self.no
+        u = np.concatenate([u1.ravel(), u2.ravel()])
+        w = self.ham @ u
+        return (w[: nv * no].reshape(nv, no),
+                w[nv * no:].reshape(nv, nv, no, no))
+
+
+def test_feast_model_hamiltonian():
+    """FEAST must find exactly the eigenvalues inside the energy window of
+    a random non-symmetric Hamiltonian."""
+    rng = np.random.default_rng(3)
+    no, nv = 1, 4
+    dim = nv * no + (nv * no) ** 2
+    ham = _fake_nonsym_ham(rng, dim)
+    e_all = np.sort(np.linalg.eigvals(ham).real)
+
+    # isolate a single eigenvalue (2.5903…) in a narrow window — FEAST's
+    # subspace must be at least as large as the window eigencount
+    e_c, e_r = 3.15, 0.25
+    in_window = e_all[(e_all > e_c - e_r) & (e_all < e_c + e_r)]
+    assert len(in_window) == 1
+
+    solver = _MatrixFEAST(no, ham, e_c=e_c, e_r=e_r, n_trial=2,
+                          max_iter=100, tol=1e-12, seed=5)
+    f = np.zeros((no + nv, no + nv))
+    dict_V = part_2_body_int(no, np.zeros((no + nv,) * 4))
+    eigvals = solver.solve(f, dict_V, np.zeros((nv, nv, no, no)))
+
+    found = np.real(eigvals)
+    assert np.min(np.abs(found - in_window[0])) < 1e-8
+
+
+class _MatrixRT(RT_EOM_CCSD):
+    def __init__(self, no, ham, **kw):
+        super().__init__(no, **kw)
+        self.ham = ham
+
+    _solve_node = _MatrixFEAST._solve_node
+    _apply_H = _MatrixFEAST._apply_H
+
+
+def test_rt_model_hamiltonian():
+    """One CIF propagation step must match exp(i·H·dt)·u (normalised) for a
+    Hermitian model Hamiltonian whose spectrum lies in the window."""
+    rng = np.random.default_rng(11)
+    no, nv = 1, 3
+    dim = nv * no + (nv * no) ** 2
+    ham = np.diag(np.linspace(0.0, 2.0, dim))
+    ham += 0.05 * (lambda a: (a + a.T) / 2)(rng.random((dim, dim)) - 0.5)
+
+    dt = 0.1
+    u0 = rng.random(dim) - 0.5
+    u0 /= np.linalg.norm(u0)
+
+    solver = _MatrixRT(no, ham, e_c=1.0, e_r=1.5, n_quad=64)
+    f = np.zeros((no + nv, no + nv))
+    dict_V = part_2_body_int(no, np.zeros((no + nv,) * 4))
+    q1, q2 = solver.solve(f, dict_V, np.zeros((nv, nv, no, no)), dt=dt,
+                          u_singles=u0[: nv * no].reshape(nv, no),
+                          u_doubles=u0[nv * no:].reshape(nv, nv, no, no))
+
+    got = np.concatenate([q1.ravel(), q2.ravel()])
+    want = scipy.linalg.expm(1j * ham * dt) @ u0
+    want /= np.linalg.norm(want)
+    # global phase free: align phases before comparing
+    phase = np.vdot(got, want)
+    phase /= np.abs(phase)
+    # quadrature error decays exponentially with n_quad
+    # (28e-3 @ 8 nodes, 3e-5 @ 32, 4e-9 @ 64)
+    assert np.linalg.norm(got * phase - want) < 1e-7
+
+
+def test_rt_autocorrelation_decay():
+    """Multi-step propagation keeps |c(t)| ≤ 1 and unit norm per step."""
+    rng = np.random.default_rng(13)
+    no, nv = 1, 3
+    dim = nv * no + (nv * no) ** 2
+    ham = np.diag(np.linspace(0.0, 2.0, dim))
+
+    dt, nt = 0.2, 5
+    u0 = rng.random(dim) - 0.5
+    u0 /= np.linalg.norm(u0)
+    u1 = u0[: nv * no].reshape(nv, no).astype(complex)
+    u2 = u0[nv * no:].reshape(nv, nv, no, no).astype(complex)
+
+    solver = _MatrixRT(no, ham, e_c=1.0, e_r=1.5, n_quad=64)
+    f = np.zeros((no + nv, no + nv))
+    dict_V = part_2_body_int(no, np.zeros((no + nv,) * 4))
+    for _ in range(nt):
+        u1, u2 = solver.solve(f, dict_V, np.zeros((nv, nv, no, no)), dt=dt,
+                              u_singles=u1, u_doubles=u2)
+        norm = np.vdot(u1, u1).real + np.vdot(u2, u2).real
+        assert abs(norm - 1.0) < 1e-8
+        c_t = np.tensordot(u0[: nv * no].reshape(nv, no), u1, axes=2) \
+            + np.tensordot(u0[nv * no:].reshape(nv, nv, no, no), u2, axes=4)
+        assert abs(c_t) <= 1.0 + 1e-8
+
+
+def test_feast_molecular_h2():
+    """FEAST with the real on-device GMRES sigma solves must agree with
+    Davidson on H2/STO-6G (window centred on the Davidson roots)."""
+    n_elec, nb, e_core, e_orb, h_pq, V_pqrs = fcidump.read(
+        os.path.join(DATA, "FCIDUMP.H2.sto6g"))
+    no = n_elec // 2
+    fock = hf.construct_hf_matrix(no, h_pq, V_pqrs)
+    mycc = ccsd.CCSD(no)
+    res = mycc.solve(fock, V_pqrs, delta_e=1e-12, max_iter=100)
+
+    dict_t_V = part_2_body_int(no, V_pqrs)
+    fd = mycc.get_T1_dressed_fock(fock, res["t1"], dict_t_V)
+    Vd = mycc.get_T1_dressed_V(res["t1"], dict_t_V)
+
+    dav = eom_ccsd.EOM_CCSD(no, n_excit=1)
+    e_dav = dav.solve(fd, Vd, res["t2"])[0]
+
+    solver = FEAST_EOM_CCSD(no, e_c=e_dav, e_r=0.2, n_trial=2,
+                            max_iter=50, tol=1e-10, seed=1)
+    solver.ls_max_iter = 50
+    eigvals = solver.solve(fd, Vd, res["t2"])
+    assert np.min(np.abs(np.real(eigvals) - e_dav)) < 1e-5
