@@ -1,0 +1,79 @@
+"""Multi-chip sharding correctness on the 8-device virtual CPU mesh.
+
+The sharded path must be bit-compatible (up to f64 reduction order) with the
+single-device path, and a fully sharded CCD solve must still hit the UEG
+oracle energy.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from pymes_tpu.parallel import mesh as pmesh
+
+
+needs_8 = pytest.mark.skipif(len(jax.devices()) < 8,
+                             reason="needs 8 virtual devices")
+
+
+@needs_8
+def test_sharded_ccsd_step_matches_single_device():
+    import __graft_entry__ as g
+    from pymes_tpu.solver.ccsd import ccsd_iteration
+
+    no, nv = 2, 16
+    f, dict_V, T1, T2, D_ai, D_abij, diis_state = g._synthetic_system(
+        no=no, nv=nv, dtype=np.float64)
+
+    def step(f, dict_V, T1, T2, D_ai, D_abij, diis_state):
+        T1, T2, diis_state, e, dE = ccsd_iteration(
+            f, dict_V, no, T1, T2, D_ai, D_abij, diis_state,
+            jnp.zeros((), f.dtype))
+        return T1, T2, e
+
+    T1_ref, T2_ref, e_ref = jax.jit(step)(f, dict_V, T1, T2, D_ai, D_abij,
+                                          diis_state)
+
+    m = pmesh.make_mesh(8, axis_names=("a",))
+    dict_V_sh = pmesh.shard_blocks(m, dict_V)
+    T1_sh, T2_sh = pmesh.shard_amplitudes(m, T1, T2)
+    D_ai_sh, D_abij_sh = pmesh.shard_amplitudes(m, D_ai, D_abij)
+    f_sh = pmesh.replicated(m, f)
+    T1_out, T2_out, e = jax.jit(step)(f_sh, dict_V_sh, T1_sh, T2_sh,
+                                      D_ai_sh, D_abij_sh, diis_state)
+
+    assert abs(float(e) - float(e_ref)) < 1e-12
+    assert np.abs(np.asarray(T2_out) - np.asarray(T2_ref)).max() < 1e-12
+    assert np.abs(np.asarray(T1_out) - np.asarray(T1_ref)).max() < 1e-12
+
+
+@needs_8
+def test_sharded_ueg_ccd_oracle():
+    """Full CCD solve with V/T sharded over 8 devices reproduces the UEG
+    golden energy (the CTF-replacement end-to-end check)."""
+    from pymes_tpu.mean_field import hf
+    from pymes_tpu.models import ueg
+    from pymes_tpu.solver import ccd
+
+    nel, rs, cutoff = 14, 0.5, 5
+    u = ueg.UEG(nel, 7, 7, rs)
+    u.init_single_basis(cutoff)
+    V = u.eval_2b_integrals()
+    no = nel // 2
+    fock = np.asarray(hf.construct_hf_matrix(no, np.diag(u.kinetic_energies()),
+                                             V))
+
+    # sharded axes must divide the mesh: nv=50 → use a 5-device mesh
+    nv = V.shape[0] - no
+    n_dev = pmesh.largest_dividing_mesh(nv, 8)
+    assert n_dev == 5
+    m = pmesh.make_mesh(n_dev, axis_names=("a",))
+    from pymes_tpu.integral.partition import part_2_body_int
+    dict_V = pmesh.shard_blocks(m, part_2_body_int(no, V))
+
+    solver = ccd.CCD(no, is_diis=True)
+    res = solver.solve(jnp.asarray(fock), dict_V, level_shift=-1.0,
+                       max_iter=60)
+    assert abs(res["ccd e"] - (-0.5120153512190824)) < 1e-6
