@@ -1,0 +1,101 @@
+"""Driver benchmark: CCD amplitude-iteration wall-clock on the real TPU.
+
+North-star metric (BASELINE.json): CCSD/CCD per-iteration wall-clock +
+iterations-to-1e-8 Ha on the UEG 14-electron, rs=0.5, cutoff=5 system
+(nP=57, no=7, nv=50) in full float64.
+
+The measured quantity is the steady-state per-iteration time of the fully
+on-device fixed point (``ccd_solve_jit``: residual build with the
+particle-particle ladder, Jacobi update, on-device DIIS, energy + dE,
+convergence test — one ``lax.while_loop``, one dispatch for the whole
+solve).  The first solve pays compile; the second is timed.
+
+``vs_baseline`` is the speedup over the reference implementation
+(nickirk/pymes, pure numpy ``np.einsum`` CCD) measured on THIS machine's
+CPU for the same system and convergence target: 2161 ms/iteration
+(max_iter 22 vs 2 differencing; see .bench notes / round-1 log).
+
+Prints exactly one JSON line on stdout; diagnostics go to stderr.
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+REF_CPU_MS_PER_ITER = 2161.0
+ORACLE_E = -0.5120153512190824
+
+
+def log(*args):
+    print(*args, file=sys.stderr, flush=True)
+
+
+def main():
+    import pymes_tpu  # noqa: F401  (x64 on)
+    import jax
+    import jax.numpy as jnp
+
+    from pymes_tpu.log import set_verbosity
+    from pymes_tpu.mean_field import hf
+    from pymes_tpu.models import ueg
+    from pymes_tpu.solver import ccd, mp2
+
+    set_verbosity(-1)
+    log("devices:", jax.devices())
+
+    t0 = time.time()
+    u = ueg.UEG(14, 7, 7, 0.5)
+    u.init_single_basis(5)
+    idx, vals = u.eval_2b_integrals(sp=2)
+    n_p = u.n_spatial
+    no = 7
+    log(f"integrals: nP={n_p}, nnz={len(vals)} "
+        f"({time.time() - t0:.1f}s host)")
+
+    # ship the momentum-conservation-sparse integral list (~4 MB) and
+    # scatter to dense on device
+    t0 = time.time()
+    V = ueg.sparse_to_dense(idx, vals, n_p, dtype=jnp.float64)
+    kinetic = jnp.asarray(np.diag(u.kinetic_energies()))
+    fock = hf.construct_hf_matrix(no, kinetic, V)
+    blocks = ccd.blocks_from_full(no, V)
+    jax.block_until_ready(blocks.abcd)
+    log(f"upload+scatter+fock: {time.time() - t0:.1f}s")
+
+    eps_i = jnp.diagonal(fock)[:no]
+    eps_a = jnp.diagonal(fock)[no:]
+    _, T0 = mp2.solve(eps_i, eps_a, blocks.ijab, blocks.abij, -1.0)
+
+    def solve():
+        out = ccd.ccd_solve_jit(fock, blocks, no, T0, level_shift=-1.0,
+                                delta_e=1e-8, max_iter=60)
+        return float(out[0]), int(out[5])
+
+    t0 = time.time()
+    e, n_it = solve()
+    log(f"warmup solve: e={e:.10f} iters={n_it} "
+        f"wall={time.time() - t0:.1f}s (includes compile)")
+
+    t0 = time.time()
+    e, n_it = solve()
+    wall = time.time() - t0
+    per_iter_ms = wall / max(n_it, 1) * 1e3
+    log(f"timed solve: e={e:.10f} iters={n_it} wall={wall:.2f}s "
+        f"per-iter={per_iter_ms:.1f}ms")
+    log(f"energy vs oracle: {abs(e - ORACLE_E):.2e} "
+        f"(oracle {ORACLE_E})")
+    if abs(e - ORACLE_E) > 1e-6:
+        log("WARNING: converged energy off the golden value!")
+
+    print(json.dumps({
+        "metric": "ueg14_rs0.5_c5_ccd_f64_iter_wall",
+        "value": round(per_iter_ms, 2),
+        "unit": "ms/iteration",
+        "vs_baseline": round(REF_CPU_MS_PER_ITER / per_iter_ms, 1),
+    }))
+
+
+if __name__ == "__main__":
+    main()

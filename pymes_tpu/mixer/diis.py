@@ -21,6 +21,45 @@ from typing import NamedTuple
 
 import jax.numpy as jnp
 import numpy as np
+from jax import lax
+
+
+def _gauss_solve(A, b):
+    """Dense solve by Gaussian elimination with partial pivoting.
+
+    Written in elementwise jnp ops + ``lax.fori_loop`` deliberately: the
+    DIIS system is a tiny bordered saddle matrix, and on TPU the library
+    factorizations are unusable for it in f64 (LU is f32-only; the
+    emulated-f64 eigh loses the small eigenvalues, degrading DIIS to a
+    ~1e-6 noise floor).  Elementwise emulated f64 is bit-accurate, so this
+    solve reproduces the CPU DIIS trajectory exactly.  The caller
+    regularises near-singular systems (ridge on the normalised B).
+    """
+    n = A.shape[0]
+    Ab = jnp.concatenate([A, b[:, None]], axis=1)
+
+    def eliminate(k, Ab):
+        col = jnp.abs(Ab[:, k])
+        col = jnp.where(jnp.arange(n) < k, -1.0, col)
+        p = jnp.argmax(col)
+        rk, rp = Ab[k], Ab[p]
+        Ab = Ab.at[k].set(rp).at[p].set(rk)
+        piv = Ab[k, k]
+        piv = jnp.where(jnp.abs(piv) < 1e-300, 1e-300, piv)
+        factors = Ab[:, k] / piv
+        factors = jnp.where(jnp.arange(n) <= k, 0.0, factors)
+        return Ab - factors[:, None] * Ab[k][None, :]
+
+    Ab = lax.fori_loop(0, n, eliminate, Ab)
+
+    def back_substitute(i, x):
+        k = n - 1 - i
+        # Ab[k, j<k] is eliminated (0) and x[k] is still 0, so the full dot
+        # yields exactly the already-solved tail contribution
+        s = Ab[k, n] - jnp.dot(Ab[k, :n], x)
+        return x.at[k].set(s / Ab[k, k])
+
+    return lax.fori_loop(0, n, back_substitute, jnp.zeros_like(b))
 
 
 class DIISState(NamedTuple):
@@ -53,10 +92,23 @@ def mix(state: DIISState, err_flat: jnp.ndarray, amp_flat: jnp.ndarray):
 
     valid = (jnp.arange(m) < n_valid).astype(amps.real.dtype)
 
-    # B[i,j] = Re<err_i, err_j>, masked outside the valid window
+    # B[i,j] = Re<err_i, err_j>, masked outside the valid window.
+    # Normalised by its largest diagonal entry: a uniform scaling of B
+    # leaves the DIIS coefficients invariant (only the Lagrange multiplier
+    # rescales) but keeps the bordered matrix well-conditioned against the
+    # −1 constraint border as the errors shrink — without this, the
+    # absolute eigenvalue-pruning threshold below misclassifies directions
+    # once ‖err‖² ≲ 1e-6 (observed as a DIIS noise floor on TPU, where the
+    # emulated-f64 eigh has larger relative error on tiny eigenvalues).
     B = jnp.real(errs.conj() @ errs.T)
     mask2 = valid[:, None] * valid[None, :]
     B = B * mask2
+    beta = jnp.maximum(jnp.max(jnp.diagonal(B)), 1e-300)
+    B = B / beta
+    # ridge against linearly dependent error vectors (the reference prunes
+    # small eigenvalues instead, diis.py:85-95; a relative ridge is the
+    # factorization-free equivalent)
+    B = B + 1e-14 * jnp.diag(valid)
 
     # bordered system: L = [[B, -1], [-1, 0]] on valid rows; identity on
     # invalid rows so the solve stays well-posed with c_invalid = 0
@@ -67,12 +119,7 @@ def mix(state: DIISState, err_flat: jnp.ndarray, amp_flat: jnp.ndarray):
 
     rhs = jnp.zeros(m + 1, dtype=B.dtype).at[m].set(-1.0)
 
-    # eigendecomposition solve with pruning of (near-)singular directions,
-    # mirroring the reference's linear-dependence handling (diis.py:85-95)
-    w, v = jnp.linalg.eigh(L)
-    w_safe = jnp.where(jnp.abs(w) > 1e-12, w, 1.0)
-    inv_w = jnp.where(jnp.abs(w) > 1e-12, 1.0 / w_safe, 0.0)
-    c = (v * inv_w) @ (v.T @ rhs)
+    c = _gauss_solve(L, rhs)
 
     coeff = (c[:m] * valid).astype(amps.dtype)
     mixed = coeff @ amps

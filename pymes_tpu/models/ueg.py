@@ -201,15 +201,28 @@ class UEG:
         else:
             raise ValueError("No integral class selected for correlator run")
 
-        # scatter into the dense tensor: V[p, q, r, s(p,q,r)] = w
-        V = np.zeros([n_p, n_p, n_p, n_p], dtype=dtype)
+        # gather the momentum-conserving nonzero set
         pq, qq, rq = np.nonzero(valid)
         sq = s_idx[pq, qq, rq]
         if w_pqr is not None:
-            V[pq, qq, rq, sq] = w_pqr[pq, qq, rq]
+            vals = w_pqr[pq, qq, rq]
         else:
-            V[pq, qq, rq, sq] = w_pr[pq, rq]
+            vals = w_pr[pq, rq]
+        idx = np.stack([pq, qq, rq, sq], axis=1)
 
+        if sp == 2:
+            # sparse return: (indices (nnz, 4), values) — only ~1/nP of the
+            # dense tensor is nonzero by momentum conservation; this is the
+            # cheap form to ship to a TPU (scatter to dense on device with
+            # sparse_to_dense)
+            if is_effect_2b:
+                V = _scatter_dense(idx, vals, n_p, dtype)
+                V = 0.5 * (V + V.transpose(1, 0, 3, 2))
+                nz = np.nonzero(V)
+                return np.stack(nz, axis=1), V[nz]
+            return idx, vals
+
+        V = _scatter_dense(idx, vals, n_p, dtype)
         if is_effect_2b:
             V = 0.5 * (V + V.transpose(1, 0, 3, 2))
         return V
@@ -532,6 +545,25 @@ class UEG:
                                 / self.Omega), 0.0)
         gamma_pqG = match * vals[None, None, :]
         return gamma_pqG
+
+
+def _scatter_dense(idx, vals, n_p, dtype):
+    V = np.zeros([n_p, n_p, n_p, n_p], dtype=dtype)
+    V[idx[:, 0], idx[:, 1], idx[:, 2], idx[:, 3]] = vals
+    return V
+
+
+def sparse_to_dense(idx, vals, n_p, dtype=None):
+    """Scatter a sparse (indices, values) integral set to dense **on
+    device** — upload cost is the nnz list (~nP³·24 B), not the nP⁴ dense
+    tensor; the momentum-conservation sparsity is the UEG's analogue of the
+    reference's CTF sparse tensors (``ueg.py:275`` ``sp`` flags)."""
+    import jax.numpy as jnp
+
+    vals = jnp.asarray(vals, dtype=dtype)
+    idx = jnp.asarray(idx)
+    V = jnp.zeros((n_p, n_p, n_p, n_p), dtype=vals.dtype)
+    return V.at[idx[:, 0], idx[:, 1], idx[:, 2], idx[:, 3]].set(vals)
 
 
 def _call_correlator(correlator, kSquare, scalar_path=False):

@@ -196,7 +196,14 @@ def ccd_solve_jit(t_fock_pq, blocks: CCDBlocks, no, t_T0_abij,
             T = mixed.reshape(T.shape)
 
         e_dir, e_exc = ccd_energy(T, blocks.ijab)
-        e = jnp.real(e_dir + e_exc)
+        if is_dr_ccd:
+            # drCCD/dRPA energy is direct-ring only (the reference wires the
+            # CCD dir+exchange energy here, ccd.py:129-132 — with it, the
+            # converged energy does not equal the dRPA plasmon formula; the
+            # amplitudes themselves solve the dRPA Riccati equation exactly)
+            e = jnp.real(e_dir)
+        else:
+            e = jnp.real(e_dir + e_exc)
         dE = e - c.e_last
         if log_iterations:
             jax.debug.print(

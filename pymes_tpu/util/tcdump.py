@@ -60,9 +60,15 @@ def _read_txt(file_name):
     with open(file_name) as reader:
         nb = int(reader.readline().strip())
         body = reader.read()
-    rows = np.array(body.split(), dtype=object).reshape(-1, 7)
-    vals = -3.0 * rows[:, 0].astype(np.float64)
-    idx = rows[:, 1:].astype(np.int64) - 1
+    try:
+        from pymes_tpu import _native
+        vals, idx = _native.parse_integral_lines(body, ints_per_rec=6)
+        vals = -3.0 * vals
+        idx = idx - 1
+    except Exception:
+        rows = np.array(body.split(), dtype=object).reshape(-1, 7)
+        vals = -3.0 * rows[:, 0].astype(np.float64)
+        idx = rows[:, 1:].astype(np.int64) - 1
     return vals, idx, nb
 
 
