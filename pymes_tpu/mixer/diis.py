@@ -38,7 +38,10 @@ def _gauss_solve(A, b):
     n = A.shape[0]
     Ab = jnp.concatenate([A, b[:, None]], axis=1)
 
-    def eliminate(k, Ab):
+    # n ≤ diis_dim+1 is a small static size: unrolled straight-line HLO
+    # (a fori_loop version pushed the remote XLA compile of the enclosing
+    # solver while_loop from ~40 s to ~10 min)
+    for k in range(n):
         col = jnp.abs(Ab[:, k])
         col = jnp.where(jnp.arange(n) < k, -1.0, col)
         p = jnp.argmax(col)
@@ -48,18 +51,15 @@ def _gauss_solve(A, b):
         piv = jnp.where(jnp.abs(piv) < 1e-300, 1e-300, piv)
         factors = Ab[:, k] / piv
         factors = jnp.where(jnp.arange(n) <= k, 0.0, factors)
-        return Ab - factors[:, None] * Ab[k][None, :]
+        Ab = Ab - factors[:, None] * Ab[k][None, :]
 
-    Ab = lax.fori_loop(0, n, eliminate, Ab)
-
-    def back_substitute(i, x):
-        k = n - 1 - i
+    x = jnp.zeros_like(b)
+    for k in range(n - 1, -1, -1):
         # Ab[k, j<k] is eliminated (0) and x[k] is still 0, so the full dot
         # yields exactly the already-solved tail contribution
         s = Ab[k, n] - jnp.dot(Ab[k, :n], x)
-        return x.at[k].set(s / Ab[k, k])
-
-    return lax.fori_loop(0, n, back_substitute, jnp.zeros_like(b))
+        x = x.at[k].set(s / Ab[k, k])
+    return x
 
 
 class DIISState(NamedTuple):

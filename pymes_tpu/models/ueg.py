@@ -557,13 +557,20 @@ def sparse_to_dense(idx, vals, n_p, dtype=None):
     """Scatter a sparse (indices, values) integral set to dense **on
     device** — upload cost is the nnz list (~nP³·24 B), not the nP⁴ dense
     tensor; the momentum-conservation sparsity is the UEG's analogue of the
-    reference's CTF sparse tensors (``ueg.py:275`` ``sp`` flags)."""
+    reference's CTF sparse tensors (``ueg.py:275`` ``sp`` flags).
+
+    Uses flattened 1-D scatter indices: the 4-D advanced-index scatter
+    miscompiles on the v5e backend used here (wrong values, no error),
+    while the flat form is exact.
+    """
     import jax.numpy as jnp
 
     vals = jnp.asarray(vals, dtype=dtype)
-    idx = jnp.asarray(idx)
-    V = jnp.zeros((n_p, n_p, n_p, n_p), dtype=vals.dtype)
-    return V.at[idx[:, 0], idx[:, 1], idx[:, 2], idx[:, 3]].set(vals)
+    idx = np.asarray(idx)
+    flat = (((idx[:, 0] * n_p + idx[:, 1]) * n_p + idx[:, 2]) * n_p
+            + idx[:, 3]).astype(np.int32)
+    V = jnp.zeros(n_p ** 4, dtype=vals.dtype)
+    return V.at[jnp.asarray(flat)].set(vals).reshape((n_p,) * 4)
 
 
 def _call_correlator(correlator, kSquare, scalar_path=False):

@@ -132,6 +132,7 @@ class CCDCarry(NamedTuple):
     e_last: jnp.ndarray
     dE: jnp.ndarray
     it: jnp.ndarray
+    e_hist: jnp.ndarray  # per-iteration energies (observability)
 
 
 @partial(jax.jit, static_argnames=("no", "is_dcd", "is_diis", "is_dr_ccd",
@@ -163,6 +164,7 @@ def ccd_solve_jit(t_fock_pq, blocks: CCDBlocks, no, t_T0_abij,
         e_last=e0,
         dE=jnp.abs(e0) + 1.0,
         it=jnp.zeros((), jnp.int32),
+        e_hist=jnp.full((max_iter + 1,), jnp.nan, dtype=jnp.real(e0).dtype),
     )
 
     def cond(c: CCDCarry):
@@ -179,11 +181,15 @@ def ccd_solve_jit(t_fock_pq, blocks: CCDBlocks, no, t_T0_abij,
 
         eps_i, eps_a = c.eps_i, c.eps_a
         if is_bruekner:
+            # quasi-particle energies from the CURRENT amplitudes on top of
+            # the canonical ε₀ (the reference compounds the correction onto
+            # the already-shifted ε every iteration, ccd.py:110-115, which
+            # diverges — hole energies reach ±10³ Ha on LiH)
             tilde_T = 2.0 * c.T - jnp.einsum("baij->abij", c.T)
-            eps_i = eps_i + 0.5 * jnp.einsum("ilcd,cdil->i", blocks.ijab,
-                                             tilde_T)
-            eps_a = eps_a - 0.5 * jnp.einsum("klad,adkl->a", blocks.ijab,
-                                             tilde_T)
+            eps_i = eps_i0 + 0.5 * jnp.einsum("ilcd,cdil->i", blocks.ijab,
+                                              tilde_T)
+            eps_a = eps_a0 - 0.5 * jnp.einsum("klad,adkl->a", blocks.ijab,
+                                              tilde_T)
 
         D = (eps_i[None, None, :, None] + eps_i[None, None, None, :]
              - eps_a[:, None, None, None] - eps_a[None, :, None, None])
@@ -209,11 +215,13 @@ def ccd_solve_jit(t_fock_pq, blocks: CCDBlocks, no, t_T0_abij,
             jax.debug.print(
                 "    CCD it {it}: E = {e:.12f}  dE = {de:.3e}",
                 it=c.it + 1, e=e, de=dE)
+        e_hist = c.e_hist.at[jnp.minimum(c.it, max_iter)].set(e)
         return CCDCarry(T=T, eps_i=eps_i, eps_a=eps_a, diis=diis_state,
-                        e_last=e, dE=dE, it=c.it + 1)
+                        e_last=e, dE=dE, it=c.it + 1, e_hist=e_hist)
 
     out = jax.lax.while_loop(cond, body, carry0)
-    return out.e_last, out.T, out.eps_i, out.eps_a, out.dE, out.it
+    return out.e_last, out.T, out.eps_i, out.eps_a, out.dE, out.it, \
+        out.e_hist
 
 
 class CCD:
@@ -266,7 +274,7 @@ class CCD:
         if amps is not None:
             t_T_abij = jnp.asarray(amps)
 
-        e, T, eps_i, eps_a, dE, n_iter = ccd_solve_jit(
+        e, T, eps_i, eps_a, dE, n_iter, e_hist = ccd_solve_jit(
             t_fock_pq, blocks, int(no), t_T_abij,
             level_shift=level_shift, delta_e=delta_e, max_iter=max_iter,
             is_dcd=self.is_dcd, is_diis=self.is_diis,
@@ -279,9 +287,11 @@ class CCD:
         print_logging_info(
             "CCD correlation energy = {:.12f} ({} iterations)".format(
                 float(e), n_iter), level=1)
+        e_hist = np.asarray(e_hist)[:n_iter]
         return {"ccd e": float(np.real(np.asarray(e))), "t2 amp": T,
                 "hole e": eps_i, "particle e": eps_a,
-                "dE": float(np.real(np.asarray(dE)))}
+                "dE": float(np.real(np.asarray(dE))),
+                "e history": e_hist}
 
     # expose the pure residual with the reference's method signature
     def get_residual(self, t_fock_pq, t_T_abij, t_V_klij, t_V_ijab,
