@@ -1,5 +1,14 @@
 """Pallas TPU matmul kernels for the CC ladder contraction.
 
+Measured reality on the v5e used here (2500x2500x512 f64-vs-numpy):
+XLA's own matmuls are the bar — xla f32 2.9 ms (2.2 TF/s), xla emulated
+f64 7.3 ms (0.9 TF/s, 3e-15 rel err).  Without an explicit
+``precision=HIGHEST`` the in-kernel MXU dot uses single-pass bf16
+(2.4e-3 rel err); with it the kernels are correct but still ~an order
+slower than XLA's pipelined matmul, so they serve as precision-ladder
+experiments, not the default hot path — ``ops.ladder`` stays on ``xla``
+mode.
+
 Two kernels back :func:`pymes_tpu.ops.ladder.ppl_contract`:
 
 * :func:`matmul_f32` — tiled f32 MXU matmul (128×128 blocks, K-loop in
@@ -43,7 +52,8 @@ def _mm_kernel(a_ref, b_ref, o_ref, acc_ref, *, k_steps):
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
     acc_ref[:] += jnp.dot(a_ref[:], b_ref[:],
-                          preferred_element_type=jnp.float32)
+                          preferred_element_type=jnp.float32,
+                          precision=jax.lax.Precision.HIGHEST)
 
     @pl.when(pl.program_id(2) == k_steps - 1)
     def _():
@@ -98,11 +108,13 @@ def _ds_kernel(ahi_ref, alo_ref, bhi_ref, blo_ref, ohi_ref, olo_ref,
         acc_hi[:] = jnp.zeros_like(acc_hi)
         acc_lo[:] = jnp.zeros_like(acc_lo)
 
-    p = jnp.dot(ahi_ref[:], bhi_ref[:], preferred_element_type=jnp.float32)
+    hp = jax.lax.Precision.HIGHEST
+    p = jnp.dot(ahi_ref[:], bhi_ref[:], preferred_element_type=jnp.float32,
+                precision=hp)
     cross = jnp.dot(ahi_ref[:], blo_ref[:],
-                    preferred_element_type=jnp.float32)
+                    preferred_element_type=jnp.float32, precision=hp)
     cross += jnp.dot(alo_ref[:], bhi_ref[:],
-                     preferred_element_type=jnp.float32)
+                     preferred_element_type=jnp.float32, precision=hp)
 
     # TwoSum(acc_hi, p): exact error of the high-order accumulation goes to
     # the low-order carry along with the cross terms

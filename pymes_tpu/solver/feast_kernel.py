@@ -191,5 +191,6 @@ def rt_step(matvec, diag, u_vec, dt=0.1, e_c=0.0, e_r=1.0, ngl_pts=16,
         q = _shifted_solve_gcrotmk(matvec, size, z[e_i], u_vec, diag,
                                    ls_max_iter, ls_conv_tol,
                                    phase=np.exp(z[e_i]), is_rt=True, dt=dt)
-        Q -= w[e_i] / 2 * (e_r * dt * np.exp(1j * theta[e_i]) * q)
+        # +w/2: positive contour orientation (see rt_eom_ccsd.solve)
+        Q += w[e_i] / 2 * (e_r * dt * np.exp(1j * theta[e_i]) * q)
     return Q

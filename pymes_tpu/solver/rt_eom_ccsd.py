@@ -62,7 +62,11 @@ class RT_EOM_CCSD(FEAST_EOM_CCSD):
             Qe = self._solve_node(f, dict_t_V_dressed, T2, b, z[e_i],
                                   diag_vec, nv, is_rt=True, dt=dt,
                                   phase=np.exp(z[e_i]))
-            Q -= w[e_i] / 2 * (self.e_r * dt * np.exp(1j * theta[e_i]) * Qe)
+            # +w/2: the θ = −πx parametrisation walks the contour
+            # clockwise; the positive-orientation residue sum makes one
+            # step exactly e^{+iH̄dt}·u (the reference's −w/2 leaves a
+            # global −1 per step that its per-step normalisation hides)
+            Q += w[e_i] / 2 * (self.e_r * dt * np.exp(1j * theta[e_i]) * Qe)
 
         q1 = Q[:n1].reshape(nv, no)
         q2 = Q[n1:].reshape(nv, nv, no, no)

@@ -144,6 +144,41 @@ def test_rt_autocorrelation_decay():
         assert abs(c_t) <= 1.0 + 1e-8
 
 
+def test_rt_molecular_h2():
+    """CIF propagation of a converged EOM-CCSD eigenstate of H2/STO-6G:
+    each real-time step must rotate the autocorrelation by e^{iω dt}
+    (the LiH ct.npy driver of the reference, ``test_rt.py:60-74``, turned
+    into a physics assertion)."""
+    n_elec, nb, e_core, e_orb, h_pq, V_pqrs = fcidump.read(
+        os.path.join(DATA, "FCIDUMP.H2.sto6g"))
+    no = n_elec // 2
+    fock = hf.construct_hf_matrix(no, h_pq, V_pqrs)
+    mycc = ccsd.CCSD(no)
+    res = mycc.solve(fock, V_pqrs, delta_e=1e-12, max_iter=100)
+    dict_t_V = part_2_body_int(no, V_pqrs)
+    fd = mycc.get_T1_dressed_fock(fock, res["t1"], dict_t_V)
+    Vd = mycc.get_T1_dressed_V(res["t1"], dict_t_V)
+
+    dav = eom_ccsd.EOM_CCSD(no, n_excit=1)
+    omega = dav.solve(fd, Vd, res["t2"])[0]
+    u1 = np.asarray(dav.u_singles[0])
+    u2 = np.asarray(dav.u_doubles[0])
+
+    rt = RT_EOM_CCSD(no, e_c=omega, e_r=0.5, n_quad=32)
+    rt.ls_max_iter = 100
+    dt = 0.1
+    c_prev = 1.0 + 0.0j
+    q1, q2 = u1.astype(complex), u2.astype(complex)
+    for _ in range(3):
+        q1, q2 = rt.solve(fd, Vd, res["t2"], dt=dt, u_singles=q1,
+                          u_doubles=q2)
+        c_t = np.tensordot(u1, q1, axes=2) + np.tensordot(u2, q2, axes=4)
+        ratio = c_t / c_prev
+        # phase advance per step = e^{i ω dt} (CIF contour is exp(+iHt))
+        assert abs(ratio - np.exp(1j * omega * dt)) < 1e-3
+        c_prev = c_t
+
+
 def test_feast_molecular_h2():
     """FEAST with the real on-device GMRES sigma solves must agree with
     Davidson on H2/STO-6G (window centred on the Davidson roots)."""

@@ -82,6 +82,53 @@ def test_tc_ueg_twisted():
     assert abs(mp2_e - 0.234320519158) < 1e-8
 
 
+@pytest.mark.slow
+def test_twist_average_convergence():
+    """Twist-averaged TC-HF/3-body/MP2 over irreducible 3³ vs 4³ meshes
+    must agree to 1e-3 eV/electron (``test_ta_ueg.py:58-76``), using the
+    native (spglib-free) cubic irreducible-mesh reduction."""
+    from pymes_tpu.util.kpoints import gen_ir_ks
+
+    ta = []
+    for ns in (3, 4):
+        ir_ks, weight = gen_ir_ks(ns)
+        acc = np.zeros(3)
+        for ks, w in zip(ir_ks, weight):
+            hf_e, e3, mp2_e = _tc_mp2_driver(list(ks))
+            acc += np.array([hf_e, e3, mp2_e]) * w
+        ta.append(acc)
+    assert (np.abs(ta[0] - ta[1]) / 14 / 27.2114 < 1e-3).all()
+
+
+def test_tc_ueg_ccd_dcd_effective_2body():
+    """End-to-end TC pipeline on the UEG: effective 2-body integrals
+    (trunc correlator, singly-contracted 3-body included), 1-particle
+    energies corrected by the double contractions, CCD then DCD warm-
+    started.  Values cross-checked against the reference code (equal to
+    ~1e-12; mirrors the assert-less ``test_tc_ccd_dcd.py`` driver)."""
+    nel, rs, cutoff = 14, 0.5, 2
+    no = nel // 2
+    u = ueg.UEG(nel, no, no, rs)
+    u.init_single_basis(cutoff)
+    u.gamma = None
+    u.k_cutoff = u.L / (2 * np.pi) * 2.3225029893472993 / rs
+
+    V = u.eval_2b_integrals(correlator=u.trunc, is_effect_2b=True, sp=0)
+    kin = u.kinetic_energies()
+    fock = np.array(hf.construct_hf_matrix(no, np.diag(kin), V))
+    d2 = np.asarray(u.double_contractions_in_3_body())
+    t3 = float(u.triple_contractions_in_3_body())
+    fock[np.arange(len(kin)), np.arange(len(kin))] += d2
+    assert abs(t3 - 0.002887307509129971) < 1e-12
+
+    res = ccd.CCD(no, is_diis=True).solve(fock, V, level_shift=-1.0,
+                                          max_iter=80)
+    assert abs(res["ccd e"] - (-7.725879708981945e-06)) < 1e-10
+    res_dcd = ccd.CCD(no, is_dcd=True, is_diis=True).solve(
+        fock, V, level_shift=-1.0, max_iter=80, amps=res["t2 amp"])
+    assert abs(res_dcd["ccd e"] - (-7.725880035329113e-06)) < 1e-10
+
+
 def test_3body_single_contractions_cross_check():
     """Contract the full 6-index L numerically and compare to the
     closed-form effective 2-body integral classes
