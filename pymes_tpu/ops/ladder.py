@@ -28,7 +28,6 @@ def set_mode(mode: str) -> None:
     global _MODE
     if mode not in _VALID:
         raise ValueError(f"ladder mode must be one of {_VALID}")
-    global _MODE
     _MODE = mode
 
 

@@ -179,6 +179,28 @@ def test_rt_molecular_h2():
         c_prev = c_t
 
 
+@pytest.mark.slow
+def test_feast_molecular_lih_window():
+    """FEAST on LiH/3-21G with a window isolating the first EOM-CCSD root:
+    must recover the Davidson golden excitation energy 0.1180867117
+    (``test_eom_ccsd.py:9``) through the real GMRES sigma solves."""
+    n_elec, nb, e_core, e_orb, h_pq, V_pqrs = fcidump.read(
+        os.path.join(DATA, "FCIDUMP.LiH.321g"))
+    no = n_elec // 2
+    fock = hf.construct_hf_matrix(no, h_pq, V_pqrs)
+    mycc = ccsd.CCSD(no)
+    res = mycc.solve(fock, V_pqrs, delta_e=1e-12, max_iter=200)
+    dict_t_V = part_2_body_int(no, V_pqrs)
+    fd = mycc.get_T1_dressed_fock(fock, res["t1"], dict_t_V)
+    Vd = mycc.get_T1_dressed_V(res["t1"], dict_t_V)
+
+    solver = FEAST_EOM_CCSD(no, e_c=0.12, e_r=0.025, n_trial=2,
+                            max_iter=60, tol=1e-11, seed=7)
+    solver.ls_max_iter = 60
+    eigvals = solver.solve(fd, Vd, res["t2"])
+    assert np.min(np.abs(np.real(eigvals) - 0.1180867117168979)) < 1e-6
+
+
 def test_feast_molecular_h2():
     """FEAST with the real on-device GMRES sigma solves must agree with
     Davidson on H2/STO-6G (window centred on the Davidson roots)."""
