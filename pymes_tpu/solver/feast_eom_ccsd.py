@@ -41,10 +41,8 @@ def normalize_amps(u_singles, u_doubles):
     return u_singles / scale, u_doubles / scale
 
 
-@partial(jax.jit, static_argnames=("no", "nv", "is_rt", "ls_max_iter",
-                                   "restart"))
-def _shifted_solve(f, dict_t_V, T2, b_vec, ze, diag_vec, no, nv,
-                   is_rt=False, dt=0.0, ls_max_iter=20, restart=20):
+def _shifted_solve_impl(f, dict_t_V, T2, b_vec, ze, diag_vec, no, nv,
+                        is_rt=False, dt=0.0, ls_max_iter=20, restart=20):
     """Solve (z − H̄)x = b (or (z − i·dt·H̄)x = b for RT) with diagonal-
     preconditioned GMRES; everything stays on device."""
     n1 = nv * no
@@ -68,6 +66,27 @@ def _shifted_solve(f, dict_t_V, T2, b_vec, ze, diag_vec, no, nv,
         matvec, b_vec, tol=1e-4, atol=0.0, restart=restart,
         maxiter=ls_max_iter, M=precond, solve_method="batched")
     return x
+
+
+_shifted_solve = partial(jax.jit, static_argnames=(
+    "no", "nv", "is_rt", "ls_max_iter", "restart"))(_shifted_solve_impl)
+
+def _nodes_impl(f, dict_t_V, T2, b_vec, z_arr, diag_vec, no, nv,
+                is_rt=False, dt=0.0, ls_max_iter=20):
+    def one(ze):
+        return _shifted_solve_impl(f, dict_t_V, T2, b_vec, ze, diag_vec,
+                                   no, nv, is_rt=is_rt, dt=dt,
+                                   ls_max_iter=ls_max_iter)
+
+    return jax.vmap(one)(z_arr)
+
+
+# all quadrature nodes in one batched dispatch: vmap over the shift z_e
+# (the reference fans the nodes out over joblib processes,
+# feast_eom_rccsd.py:90-108; on TPU they vectorize — and shard over a
+# device mesh axis in multi-chip runs)
+_shifted_solve_nodes = partial(jax.jit, static_argnames=(
+    "no", "nv", "is_rt", "ls_max_iter"))(_nodes_impl)
 
 
 class FEAST_EOM_CCSD(EOM_CCSD):
@@ -113,6 +132,23 @@ class FEAST_EOM_CCSD(EOM_CCSD):
                            is_rt=is_rt, dt=dt, ls_max_iter=self.ls_max_iter)
         return np.asarray(x)
 
+    def _solve_all_nodes(self, f, dict_t_V, T2, b_vec, z_arr, diag_vec, nv):
+        """(n_nodes, N) solutions of (z_e − H̄)x = b, batched on device.
+
+        Subclasses that override the per-node solver (e.g. dense test
+        Hamiltonians) automatically fall back to a per-node loop.
+        """
+        if type(self)._solve_node is not FEAST_EOM_CCSD._solve_node:
+            return np.stack([
+                self._solve_node(f, dict_t_V, T2, b_vec, ze, diag_vec, nv)
+                for ze in np.asarray(z_arr)])
+        x = _shifted_solve_nodes(f, dict_t_V, T2,
+                                 jnp.asarray(b_vec, dtype=complex),
+                                 jnp.asarray(z_arr),
+                                 jnp.asarray(diag_vec), self.no, nv,
+                                 ls_max_iter=self.ls_max_iter)
+        return np.asarray(x)
+
     def solve(self, t_fock_dressed_pq, dict_t_V_dressed, t_T_abij):
         """FEAST iteration (reference flow, ``feast_eom_ccsd.py:72-181``)."""
         print_title("FEAST-EOM-CCSD Solver")
@@ -146,14 +182,13 @@ class FEAST_EOM_CCSD(EOM_CCSD):
             for l in range(m):
                 self.u_singles[l], self.u_doubles[l] = normalize_amps(
                     self.u_singles[l], self.u_doubles[l])
-            for e_i in range(len(z)):
-                for l in range(m):
-                    b = np.concatenate([self.u_singles[l].ravel(),
-                                        self.u_doubles[l].ravel()])
-                    Qe = self._solve_node(f, dict_t_V_dressed, T2, b,
-                                          z[e_i], diag_vec, nv)
-                    Q[l] = Q[l] - w[e_i] / 2 * np.real(
-                        self.e_r * np.exp(1j * theta[e_i]) * Qe)
+            node_weight = (w / 2 * self.e_r * np.exp(1j * theta))
+            for l in range(m):
+                b = np.concatenate([self.u_singles[l].ravel(),
+                                    self.u_doubles[l].ravel()])
+                Qe = self._solve_all_nodes(f, dict_t_V_dressed, T2, b, z,
+                                           diag_vec, nv)  # (n_nodes, N)
+                Q[l] = Q[l] - np.real(node_weight[:, None] * Qe).sum(axis=0)
 
             # projected oblique eigenproblem on the filtered subspace
             H_proj = np.zeros((m, m))
