@@ -244,7 +244,15 @@ class CCD:
         self.log_iterations = False
 
     def solve(self, t_fock_pq, t_V_pqrs, level_shift=0.0, sp=0, amps=None,
-              **kwargs):
+              mixed_precision=False, **kwargs):
+        """Solve the doubles equations.
+
+        ``mixed_precision=True`` runs the bulk of the fixed point in f32
+        (native MXU speed) to |dE| < 1e-5 and polishes to ``delta_e`` in
+        f64 — the energies match the all-f64 path to the convergence
+        tolerance because the fixed point is self-correcting under the
+        final-precision residuals.
+        """
         algo_name = "ccd.solve"
         max_iter = int(kwargs.get("max_iter", self.max_iter))
         delta_e = float(kwargs.get("delta_e", self.delta_e))
@@ -273,6 +281,22 @@ class CCD:
                            level=1)
         if amps is not None:
             t_T_abij = jnp.asarray(amps)
+
+        if mixed_precision and t_T_abij.dtype == jnp.float64:
+            f32 = jnp.float32
+            blocks32 = jax.tree_util.tree_map(
+                lambda x: None if x is None else x.astype(f32), blocks)
+            _, T32, _, _, _, it32, _ = ccd_solve_jit(
+                t_fock_pq.astype(f32), blocks32, int(no),
+                t_T_abij.astype(f32), level_shift=level_shift,
+                delta_e=max(1e-5, delta_e), max_iter=max_iter,
+                is_dcd=self.is_dcd, is_diis=self.is_diis,
+                is_dr_ccd=self.is_dr_ccd, is_bruekner=self.is_bruekner,
+                dim_space=self.dim_space)
+            print_logging_info(
+                "mixed precision: {} f32 iterations".format(int(it32)),
+                level=1)
+            t_T_abij = T32.astype(jnp.float64)
 
         e, T, eps_i, eps_a, dE, n_iter, e_hist = ccd_solve_jit(
             t_fock_pq, blocks, int(no), t_T_abij,
