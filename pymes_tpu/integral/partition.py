@@ -17,6 +17,8 @@ BLOCK_NAMES = (
     "iajb", "abcd", "iabc", "aijb", "ijka", "aibc", "ijab", "abij",
 )
 
+OCC_LETTERS = set("ijkl")
+
 _SLICE = {"o": lambda no: slice(None, no), "v": lambda no: slice(no, None)}
 
 

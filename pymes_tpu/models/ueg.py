@@ -573,6 +573,45 @@ def sparse_to_dense(idx, vals, n_p, dtype=None):
     return V.at[jnp.asarray(flat)].set(vals).reshape((n_p,) * 4)
 
 
+def sparse_to_blocks(idx, vals, n_p, no, names=None, dtype=None):
+    """Scatter a sparse integral set directly into named o/v blocks on
+    device, without ever materialising the dense nP⁴ tensor in HBM.
+
+    This is the memory-lean upload path for large bases: only the blocks a
+    solver needs (e.g. the 7 CCD blocks, dominated by the nv⁴ ``abcd``)
+    ever exist on device.  Returns a dict name → device array.
+    """
+    import jax.numpy as jnp
+
+    from pymes_tpu.integral.partition import BLOCK_NAMES, OCC_LETTERS
+
+    if names is None:
+        names = BLOCK_NAMES
+    idx = np.asarray(idx)
+    vals = np.asarray(vals)
+    is_occ = idx < no
+    out = {}
+    for name in names:
+        want = [c in OCC_LETTERS for c in name]
+        mask = np.ones(len(vals), dtype=bool)
+        for slot, w in enumerate(want):
+            mask &= (is_occ[:, slot] == w)
+        sub = idx[mask].copy()
+        dims = []
+        for slot, w in enumerate(want):
+            if not w:
+                sub[:, slot] -= no
+            dims.append(no if w else n_p - no)
+        flat = sub[:, 0]
+        for slot in range(1, 4):
+            flat = flat * dims[slot] + sub[:, slot]
+        v = jnp.asarray(vals[mask], dtype=dtype)
+        buf = jnp.zeros(int(np.prod(dims)), dtype=v.dtype)
+        out[name] = buf.at[jnp.asarray(flat.astype(np.int64))].set(
+            v).reshape(dims)
+    return out
+
+
 def _call_correlator(correlator, kSquare, scalar_path=False):
     """Invoke a correlator; pass scalar_path only if it accepts the kwarg
     (user-supplied correlators need not)."""
