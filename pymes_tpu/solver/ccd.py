@@ -34,7 +34,11 @@ from pymes_tpu.solver import mp2
 
 
 class CCDBlocks(NamedTuple):
-    """The 7 integral blocks entering the doubles amplitude equation."""
+    """The 7 integral blocks entering the doubles amplitude equation.
+
+    ``ladder`` may replace the dense ``abcd`` with a matrix-free UEG
+    gather plan (:mod:`pymes_tpu.ops.ueg_ladder`) — set ``abcd=None`` then.
+    """
 
     klij: jnp.ndarray
     ijab: jnp.ndarray
@@ -43,6 +47,7 @@ class CCDBlocks(NamedTuple):
     iabj: jnp.ndarray
     abcd: jnp.ndarray
     iabc: jnp.ndarray = None  # unused by CCD; placeholder for dressing reuse
+    ladder: object = None     # optional UEGLadder plan
 
 
 def blocks_from_full(no, t_V_pqrs):
@@ -84,7 +89,12 @@ def doubles_residual(t_fock_ab, t_fock_ij, t_T_abij, blocks: CCDBlocks,
 
     R = V.abij
     R = R + jnp.einsum("klij,abkl->abij", I_klij, t_T_abij)
-    R = R + ppl_contract(V.abcd, t_T_abij)  # particle-particle ladder (hot)
+    if V.ladder is not None:
+        # matrix-free UEG ladder: gather-sum over momentum transfers
+        from pymes_tpu.ops.ueg_ladder import ueg_ladder_apply
+        R = R + ueg_ladder_apply(V.ladder, t_T_abij)
+    else:
+        R = R + ppl_contract(V.abcd, t_T_abij)  # pp ladder (hot)
 
     if not is_dcd:
         X_alcj = jnp.einsum("klcd,adkj->alcj", V.ijab, t_T_abij)
