@@ -90,6 +90,25 @@ def unique_triangle(t_L, tol=0.0):
     return uniq, vals[first]
 
 
+def global_ind_2_list_inds(global_ind, shape):
+    """Decompose a flat index into per-axis indices (row-major; working
+    version of ``contraction.py:124``)."""
+    out = []
+    for n in range(len(shape) - 1, -1, -1):
+        out.append(int(global_ind % shape[n]))
+        global_ind //= shape[n]
+    return out[::-1]
+
+
+def list_inds_2_global_ind(list_inds, shape):
+    """Flat row-major index of per-axis indices (fixes the reference's
+    broken accumulation at ``contraction.py:147-167``)."""
+    g = 0
+    for i, n in zip(list_inds, shape):
+        g = g * n + int(i)
+    return g
+
+
 def recover_L(indices, values, nb):
     """Rebuild the full dense L from unique entries by scattering all 6
     pair-permutation images (working replacement for the reference's

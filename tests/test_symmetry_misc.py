@@ -19,6 +19,15 @@ def test_sym_images_count():
     assert len(strs) == 48 and "orpsqt" in strs
 
 
+def test_index_codecs():
+    from pymes_tpu.integral.symmetry import (global_ind_2_list_inds,
+                                             list_inds_2_global_ind)
+    shape = (3, 4, 5, 6)
+    for g in (0, 17, 359):
+        li = global_ind_2_list_inds(g, shape)
+        assert list_inds_2_global_ind(li, shape) == g
+
+
 def test_unique_triangle_roundtrip():
     """Compress a 6-fold-symmetric L to unique entries and recover it."""
     t_L = tcdump.read(os.path.join(DATA, "TCDUMP.H2.tc"))
