@@ -7,7 +7,7 @@ structured equivalent; every solver exposes ``from_config`` and the legacy
 attribute/kwargs style keeps working.
 """
 
-from dataclasses import dataclass, field, asdict
+from dataclasses import asdict, dataclass
 
 
 @dataclass

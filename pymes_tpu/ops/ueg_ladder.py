@@ -60,20 +60,30 @@ def build_ueg_ladder(ueg_model, correlator=None, dtype=np.float64,
 
     qp = q_vecs * 2.0 * np.pi / ueg_model.L
     q2 = np.einsum("nx,nx->n", qp, qp)
+    with np.errstate(divide="ignore"):
+        coul = np.where(q2 > 0, 4.0 * np.pi / np.where(q2 > 0, q2, 1.0),
+                        0.0)
     if correlator is None and not integral_flags:
-        with np.errstate(divide="ignore"):
-            w = np.where(q2 > 0, 4.0 * np.pi / np.where(q2 > 0, q2, 1.0)
-                         / ueg_model.Omega, 0.0)
+        w = coul / ueg_model.Omega
     elif integral_flags.get("is_rpa_approx"):
         u = _call_correlator(correlator, q2, scalar_path=True)
         w = np.where(q2 > 0,
                      -ueg_model.n_ele * q2 * u ** 2 / ueg_model.Omega ** 2,
                      0.0)
+    elif integral_flags.get("is_only_hermi_2b"):
+        # Coulomb + Σ∇u·∇u convolution + q²u(q²): all transfer-only
+        u = _call_correlator(correlator, q2, scalar_path=True)
+        ueg_model.correlator = correlator
+        u_mat = ueg_model._sum_nabla_u_squared(
+            q_vecs.reshape(-1, 1, 3), None).reshape(-1)
+        w = np.where(q2 > 0, (coul + u_mat + q2 * u) / ueg_model.Omega,
+                     u_mat / ueg_model.Omega)
     else:
         raise NotImplementedError(
-            "matrix-free ladder supports the Coulomb and RPA-approx "
-            "integral classes (transfer-only weights); hermitian-TC "
-            "classes need the u_mat(q) term added here")
+            "matrix-free ladder supports the Coulomb, RPA-approx and "
+            "hermitian-TC integral classes (transfer-only weights); the "
+            "non-hermitian class depends on (r, s) and needs the dense "
+            "block")
 
     # gather images: c(a, q) = lookup(k_a + q) − no (virtual index), and
     # d(b, q) = lookup(k_b − q) − no

@@ -50,6 +50,30 @@ def test_sharded_ccsd_step_matches_single_device():
 
 
 @needs_8
+def test_sharded_matrix_free_ladder():
+    """The gather-plan ladder under a sharded T2: GSPMD must insert the
+    collectives and reproduce the single-device result exactly."""
+    from pymes_tpu.models import ueg
+    from pymes_tpu.ops.ueg_ladder import build_ueg_ladder, ueg_ladder_apply
+
+    u = ueg.UEG(14, 7, 7, 1.0)
+    u.init_single_basis(3)   # nv divisible checks below
+    no = 7
+    nv = u.n_spatial - no
+    n_dev = pmesh.largest_dividing_mesh(nv, 8)
+    rng = np.random.default_rng(0)
+    T = rng.standard_normal((nv, nv, no, no))
+
+    lad = build_ueg_ladder(u)
+    want = np.asarray(jax.jit(ueg_ladder_apply)(lad, jnp.asarray(T)))
+
+    m = pmesh.make_mesh(n_dev, axis_names=("a",))
+    _, T_sh = pmesh.shard_amplitudes(m, jnp.zeros((nv, no)), jnp.asarray(T))
+    got = np.asarray(jax.jit(ueg_ladder_apply)(lad, T_sh))
+    assert np.abs(got - want).max() < 1e-13
+
+
+@needs_8
 def test_sharded_ueg_ccd_oracle():
     """Full CCD solve with V/T sharded over 8 devices reproduces the UEG
     golden energy (the CTF-replacement end-to-end check)."""

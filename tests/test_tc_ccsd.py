@@ -7,7 +7,7 @@ Oracles from ``pymes/test/test_tc_ccsd/test_tc_ccsd.py:17,39,66-67``.
 import os
 
 import numpy as np
-import pytest
+
 
 from pymes_tpu.integral import contraction
 from pymes_tpu.mean_field import hf

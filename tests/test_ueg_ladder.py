@@ -24,6 +24,23 @@ def test_ladder_matches_dense():
     assert np.abs(R_mf - R_dense).max() < 1e-12
 
 
+def test_ladder_matches_dense_hermitian_tc():
+    u = ueg.UEG(14, 7, 7, 1.0)
+    u.init_single_basis(2)
+    u.gamma = None
+    u.k_cutoff = u.L / (2 * np.pi) * 2.3225029893472993
+    V = u.eval_2b_integrals(correlator=u.trunc, is_only_hermi_2b=True, sp=0)
+    no = 7
+    nv = u.n_spatial - no
+    rng = np.random.default_rng(1)
+    T = rng.standard_normal((nv, nv, no, no))
+
+    lad = build_ueg_ladder(u, correlator=u.trunc, is_only_hermi_2b=True)
+    R_mf = np.asarray(ueg_ladder_apply(lad, T))
+    R_dense = np.einsum("abcd,cdij->abij", V[no:, no:, no:, no:], T)
+    assert np.abs(R_mf - R_dense).max() < 1e-12
+
+
 def test_ueg_ccd_oracle_matrix_free():
     """The UEG CCD golden energy through the matrix-free ladder — the nv⁴
     ``abcd`` block is never built."""
