@@ -41,29 +41,48 @@ def normalize_amps(u_singles, u_doubles):
     return u_singles / scale, u_doubles / scale
 
 
-def _shifted_solve_impl(f, dict_t_V, T2, b_vec, ze, diag_vec, no, nv,
+def _shifted_solve_impl(f, dict_t_V, T2, b_pair, z_pair, diag_vec, no, nv,
                         is_rt=False, dt=0.0, ls_max_iter=20, restart=20):
     """Solve (z − H̄)x = b (or (z − i·dt·H̄)x = b for RT) with diagonal-
-    preconditioned GMRES; everything stays on device."""
-    n1 = nv * no
+    preconditioned GMRES, everything on device.
 
-    def matvec(x):
+    Complex arithmetic is expressed through its **real embedding** — the
+    unknown is the (Re x, Im x) pair and the real H̄ applies to each part —
+    because the TPU backend has no C128 type at all (the compiler rejects
+    it outright).  GMRES runs on the pytree pair with the real inner
+    product; the caller recombines to complex on host.
+    """
+    n1 = nv * no
+    zr, zi = z_pair
+
+    def H(x):
         u1 = x[:n1].reshape(nv, no)
         u2 = x[n1:].reshape(nv, nv, no, no)
         w1 = sigma_singles(f, dict_t_V, u1, u2, T2)
         w2 = sigma_doubles(f, dict_t_V, u1, u2, T2)
-        h = jnp.concatenate([w1.ravel(), w2.ravel()])
+        return jnp.concatenate([w1.ravel(), w2.ravel()])
+
+    def matvec(pair):
+        xr, xi = pair
         if is_rt:
-            return ze * x - 1j * dt * h
-        return ze * x - h
+            # (z − i·dt·H̄)(xr + i xi)
+            return (zr * xr - zi * xi + dt * H(xi),
+                    zr * xi + zi * xr - dt * H(xr))
+        return (zr * xr - zi * xi - H(xr),
+                zr * xi + zi * xr - H(xi))
 
-    M_diag = 1.0 / (ze - diag_vec + 0.01)
+    # complex diagonal preconditioner 1/(z − diag + 0.01) as a real pair
+    den_r = zr - diag_vec + 0.01
+    den_i = jnp.broadcast_to(zi, den_r.shape)
+    den2 = den_r ** 2 + den_i ** 2
+    m_r, m_i = den_r / den2, -den_i / den2
 
-    def precond(x):
-        return M_diag * x
+    def precond(pair):
+        xr, xi = pair
+        return (m_r * xr - m_i * xi, m_r * xi + m_i * xr)
 
     x, _ = jax.scipy.sparse.linalg.gmres(
-        matvec, b_vec, tol=1e-4, atol=0.0, restart=restart,
+        matvec, b_pair, tol=1e-4, atol=0.0, restart=restart,
         maxiter=ls_max_iter, M=precond, solve_method="batched")
     return x
 
@@ -71,14 +90,14 @@ def _shifted_solve_impl(f, dict_t_V, T2, b_vec, ze, diag_vec, no, nv,
 _shifted_solve = partial(jax.jit, static_argnames=(
     "no", "nv", "is_rt", "ls_max_iter", "restart"))(_shifted_solve_impl)
 
-def _nodes_impl(f, dict_t_V, T2, b_vec, z_arr, diag_vec, no, nv,
+def _nodes_impl(f, dict_t_V, T2, b_pair, z_pairs, diag_vec, no, nv,
                 is_rt=False, dt=0.0, ls_max_iter=20):
-    def one(ze):
-        return _shifted_solve_impl(f, dict_t_V, T2, b_vec, ze, diag_vec,
-                                   no, nv, is_rt=is_rt, dt=dt,
+    def one(z_pair):
+        return _shifted_solve_impl(f, dict_t_V, T2, b_pair, z_pair,
+                                   diag_vec, no, nv, is_rt=is_rt, dt=dt,
                                    ls_max_iter=ls_max_iter)
 
-    return jax.vmap(one)(z_arr)
+    return jax.vmap(one)(z_pairs)
 
 
 # all quadrature nodes in one batched dispatch: vmap over the shift z_e
@@ -125,12 +144,15 @@ class FEAST_EOM_CCSD(EOM_CCSD):
     def _solve_node(self, f, dict_t_V, T2, b_vec, ze, diag_vec, nv,
                     is_rt=False, dt=0.0, phase=None):
         if phase is not None:
-            b_vec = b_vec * phase
-        x = _shifted_solve(f, dict_t_V, T2, jnp.asarray(b_vec,
-                                                        dtype=complex),
-                           ze, jnp.asarray(diag_vec), self.no, nv,
-                           is_rt=is_rt, dt=dt, ls_max_iter=self.ls_max_iter)
-        return np.asarray(x)
+            b_vec = np.asarray(b_vec) * phase
+        b_vec = np.asarray(b_vec, dtype=complex)
+        b_pair = (jnp.asarray(b_vec.real), jnp.asarray(b_vec.imag))
+        z_pair = (jnp.asarray(np.real(ze)), jnp.asarray(np.imag(ze)))
+        xr, xi = _shifted_solve(f, dict_t_V, T2, b_pair, z_pair,
+                                jnp.asarray(diag_vec), self.no, nv,
+                                is_rt=is_rt, dt=dt,
+                                ls_max_iter=self.ls_max_iter)
+        return np.asarray(xr) + 1j * np.asarray(xi)
 
     def _solve_all_nodes(self, f, dict_t_V, T2, b_vec, z_arr, diag_vec, nv):
         """(n_nodes, N) solutions of (z_e − H̄)x = b, batched on device.
@@ -142,12 +164,14 @@ class FEAST_EOM_CCSD(EOM_CCSD):
             return np.stack([
                 self._solve_node(f, dict_t_V, T2, b_vec, ze, diag_vec, nv)
                 for ze in np.asarray(z_arr)])
-        x = _shifted_solve_nodes(f, dict_t_V, T2,
-                                 jnp.asarray(b_vec, dtype=complex),
-                                 jnp.asarray(z_arr),
-                                 jnp.asarray(diag_vec), self.no, nv,
-                                 ls_max_iter=self.ls_max_iter)
-        return np.asarray(x)
+        b_vec = np.asarray(b_vec, dtype=complex)
+        b_pair = (jnp.asarray(b_vec.real), jnp.asarray(b_vec.imag))
+        z_arr = np.asarray(z_arr)
+        z_pairs = (jnp.asarray(z_arr.real), jnp.asarray(z_arr.imag))
+        xr, xi = _shifted_solve_nodes(f, dict_t_V, T2, b_pair, z_pairs,
+                                      jnp.asarray(diag_vec), self.no, nv,
+                                      ls_max_iter=self.ls_max_iter)
+        return np.asarray(xr) + 1j * np.asarray(xi)
 
     def solve(self, t_fock_dressed_pq, dict_t_V_dressed, t_T_abij):
         """FEAST iteration (reference flow, ``feast_eom_ccsd.py:72-181``)."""
