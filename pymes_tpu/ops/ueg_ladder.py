@@ -99,19 +99,32 @@ def build_ueg_ladder(ueg_model, correlator=None, dtype=np.float64,
                      w=jnp.asarray(w[keep], dtype=dtype))
 
 
-def ueg_ladder_apply(ladder: UEGLadder, T_abij):
-    """R_abij = Σ_q w(q) T[c(a,q), d(b,q), i, j] via a scan of masked
-    gathers (memory per step: one T2-sized gather)."""
+def ueg_ladder_apply(ladder: UEGLadder, T_abij, chunk=8):
+    """R_abij = Σ_q w(q) T[c(a,q), d(b,q), i, j] via a scan over chunks of
+    transfers, each chunk a vmapped masked gather (memory per step:
+    ``chunk`` T2-sized gathers; larger chunks trade HBM for fewer scan
+    iterations)."""
     T_abij = jnp.asarray(T_abij)
     nv = T_abij.shape[0]
+    nq = ladder.w.shape[0]
+    pad = (-nq) % chunk
+    w = jnp.pad(ladder.w, (0, pad))
+    C = jnp.pad(ladder.C, ((0, pad), (0, 0)), constant_values=-1)
+    D = jnp.pad(ladder.D, ((0, pad), (0, 0)), constant_values=-1)
+    w = w.reshape(-1, chunk)
+    C = C.reshape(-1, chunk, nv)
+    D = D.reshape(-1, chunk, nv)
 
-    def step(acc, qcd):
-        w_q, c_q, d_q = qcd
+    def one_q(w_q, c_q, d_q):
         valid = ((c_q >= 0)[:, None] & (d_q >= 0)[None, :])
         Tg = T_abij[jnp.clip(c_q, 0, nv - 1)][:, jnp.clip(d_q, 0, nv - 1)]
-        contrib = jnp.where(valid[:, :, None, None], Tg, 0.0)
-        return acc + w_q * contrib, None
+        return w_q * jnp.where(valid[:, :, None, None], Tg, 0.0)
+
+    def step(acc, qcd):
+        w_c, c_c, d_c = qcd
+        contrib = jax.vmap(one_q)(w_c, c_c, d_c)
+        return acc + contrib.sum(axis=0), None
 
     acc0 = jnp.zeros_like(T_abij)
-    out, _ = jax.lax.scan(step, acc0, (ladder.w, ladder.C, ladder.D))
+    out, _ = jax.lax.scan(step, acc0, (w, C, D))
     return out
