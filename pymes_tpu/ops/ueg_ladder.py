@@ -99,11 +99,13 @@ def build_ueg_ladder(ueg_model, correlator=None, dtype=np.float64,
                      w=jnp.asarray(w[keep], dtype=dtype))
 
 
-def ueg_ladder_apply(ladder: UEGLadder, T_abij, chunk=8):
+def ueg_ladder_apply(ladder: UEGLadder, T_abij, chunk=1):
     """R_abij = Σ_q w(q) T[c(a,q), d(b,q), i, j] via a scan over chunks of
-    transfers, each chunk a vmapped masked gather (memory per step:
-    ``chunk`` T2-sized gathers; larger chunks trade HBM for fewer scan
-    iterations)."""
+    transfers, each chunk a vmapped masked gather.
+
+    Measured on v5e: the op is gather-bandwidth-bound, so chunking does not
+    help (chunk=8 was within noise at nP=219 and ~20% slower at nP=389);
+    the default stays at the simple per-q scan."""
     T_abij = jnp.asarray(T_abij)
     nv = T_abij.shape[0]
     nq = ladder.w.shape[0]

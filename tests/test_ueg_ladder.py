@@ -22,6 +22,11 @@ def test_ladder_matches_dense():
     R_mf = np.asarray(ueg_ladder_apply(lad, T))
     R_dense = np.einsum("abcd,cdij->abij", V[no:, no:, no:, no:], T)
     assert np.abs(R_mf - R_dense).max() < 1e-12
+    # chunking must not change the result
+    R_c1 = np.asarray(ueg_ladder_apply(lad, T, chunk=1))
+    R_c32 = np.asarray(ueg_ladder_apply(lad, T, chunk=32))
+    assert np.abs(R_c1 - R_dense).max() < 1e-12
+    assert np.abs(R_c32 - R_dense).max() < 1e-12
 
 
 def test_ladder_matches_dense_hermitian_tc():
