@@ -50,6 +50,37 @@ def test_sharded_ccsd_step_matches_single_device():
 
 
 @needs_8
+def test_sharded_ccsd_step_2d_mesh():
+    """2D virtual-by-virtual tensor parallelism (mesh (2,4) over a,b axes)
+    must match the single-device step."""
+    import __graft_entry__ as g
+    from pymes_tpu.solver.ccsd import ccsd_iteration
+
+    no, nv = 2, 16
+    f, dict_V, T1, T2, D_ai, D_abij, diis_state = g._synthetic_system(
+        no=no, nv=nv, dtype=np.float64)
+
+    def step(f, dict_V, T1, T2, D_ai, D_abij, diis_state):
+        T1, T2, diis_state, e, dE = ccsd_iteration(
+            f, dict_V, no, T1, T2, D_ai, D_abij, diis_state,
+            jnp.zeros((), f.dtype))
+        return T1, T2, e
+
+    T1_ref, T2_ref, e_ref = jax.jit(step)(f, dict_V, T1, T2, D_ai, D_abij,
+                                          diis_state)
+
+    m = pmesh.make_mesh(8, axis_names=("a", "b"), shape=(2, 4))
+    dict_V_sh = pmesh.shard_blocks(m, dict_V)
+    T1_sh, T2_sh = pmesh.shard_amplitudes(m, T1, T2)
+    D_ai_sh, D_abij_sh = pmesh.shard_amplitudes(m, D_ai, D_abij)
+    f_sh = pmesh.replicated(m, f)
+    T1_out, T2_out, e = jax.jit(step)(f_sh, dict_V_sh, T1_sh, T2_sh,
+                                      D_ai_sh, D_abij_sh, diis_state)
+    assert abs(float(e) - float(e_ref)) < 1e-12
+    assert np.abs(np.asarray(T2_out) - np.asarray(T2_ref)).max() < 1e-12
+
+
+@needs_8
 def test_sharded_matrix_free_ladder():
     """The gather-plan ladder under a sharded T2: GSPMD must insert the
     collectives and reproduce the single-device result exactly."""
