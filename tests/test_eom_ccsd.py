@@ -55,6 +55,33 @@ def test_davidson_fake_hamiltonian():
     assert np.allclose(np.sort(e), e_target, atol=1e-6)
 
 
+def test_eom_mp2():
+    """EOM with MP2 amplitudes (undressed H, T2 = MP2): the reference
+    documents this usage (``eom_ccsd.py:56-57``); excitations land near
+    the EOM-CCSD values on H2/STO-6G."""
+    from pymes_tpu.solver import mp2
+
+    n_elec, nb, e_core, e_orb, h_pq, V_pqrs = fcidump.read(
+        os.path.join(DATA, "FCIDUMP.H2.sto6g"))
+    no = n_elec // 2
+    fock = np.asarray(hf.construct_hf_matrix(no, h_pq, V_pqrs))
+    eps_i, eps_a = fock.diagonal()[:no], fock.diagonal()[no:]
+    dict_t_V = part_2_body_int(no, V_pqrs)
+    _, T2 = mp2.solve(eps_i, eps_a, dict_t_V["ijab"], dict_t_V["abij"])
+
+    solver = eom_ccsd.EOM_CCSD(no, n_excit=1)
+    e_mp2based = solver.solve(fock, dict_t_V, T2)[0]
+
+    mycc = ccsd.CCSD(no)
+    res = mycc.solve(fock, V_pqrs, delta_e=1e-12, max_iter=100)
+    fd = mycc.get_T1_dressed_fock(fock, res["t1"], dict_t_V)
+    Vd = mycc.get_T1_dressed_V(res["t1"], dict_t_V)
+    e_ccsd_based = eom_ccsd.EOM_CCSD(no, n_excit=1).solve(fd, Vd,
+                                                          res["t2"])[0]
+    assert abs(e_mp2based - e_ccsd_based) < 0.05
+    assert e_mp2based > 0
+
+
 @pytest.mark.slow
 def test_eom_ccsd_lih():
     n_elec, nb, e_core, e_orb, h_pq, V_pqrs = fcidump.read(
