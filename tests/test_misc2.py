@@ -22,6 +22,22 @@ def test_mixed_precision_ccd_matches_f64():
     assert abs(e_mixed - e64) < 1e-8
 
 
+def test_ccsd_blocks_dict_input():
+    """CCSD accepts the pre-partitioned block dict (the memory-lean upload
+    path for molecules: only the 16 blocks ever reach the device)."""
+    from pymes_tpu.integral.partition import part_2_body_int
+    from pymes_tpu.solver import ccsd as ccsd_mod
+
+    n_elec, nb, e_core, e_orb, h_pq, V_pqrs = fcidump.read(
+        os.path.join(DATA, "FCIDUMP.LiH.321g"))
+    no = n_elec // 2
+    fock = hf.construct_hf_matrix(no, h_pq, V_pqrs)
+    e_full = ccsd_mod.CCSD(no).solve(fock, V_pqrs)["ccsd e"]
+    e_dict = ccsd_mod.CCSD(no).solve(fock,
+                                     part_2_body_int(no, V_pqrs))["ccsd e"]
+    assert abs(e_full - e_dict) < 1e-12
+
+
 def test_calc_gamma_ftod():
     """The CC4S density-fitting vertex Γ^p_q(G) = sqrt(4π/G²/Ω) at the
     momentum transfer G = k_p − k_q (fixes the reference's attribute bug
