@@ -37,3 +37,16 @@ def x64_enabled() -> bool:
 # the reference test-suite (1e-8 Ha) cannot be met in f32.
 if os.environ.get("PYMES_TPU_X32", "0") != "1":
     enable_x64()
+
+# Persistent compilation cache: through the axon remote-compile tunnel a
+# fresh-process compile of a solver graph costs 30–600 s; the on-disk cache
+# brings it to <1 s (measured 78.7 s → 0.8 s).  Harmless on CPU.
+try:
+    if jax.config.jax_compilation_cache_dir is None:
+        jax.config.update(
+            "jax_compilation_cache_dir",
+            os.environ.get("PYMES_TPU_CACHE",
+                           os.path.expanduser("~/.cache/jax_pymes")))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+except Exception:  # pragma: no cover - older jax without the knob
+    pass

@@ -228,6 +228,17 @@ class FEAST_EOM_CCSD(EOM_CCSD):
                     H_proj[j, i] = Q[j] @ W[i]
                     B[j, i] = Q[j] @ Q[i]
             self.eigvals, self.eigvecs = eig(H_proj, B)
+            # a singular B (trial space larger than the window eigencount)
+            # yields inf/nan pairs — drop them from the update and the
+            # convergence norm
+            finite = np.isfinite(self.eigvals)
+            if not finite.all():
+                self.eigvals = self.eigvals[finite]
+                self.eigvecs = self.eigvecs[:, finite]
+            if len(self.eigvals) == 0:
+                print_logging_info(
+                    "No finite eigenvalues in the energy window.", level=1)
+                break
 
             # rotate/extend trial space with the filtered Ritz vectors
             if m < self.n_trial:
