@@ -96,7 +96,10 @@ def test_eom_ccsd_lih():
 
     dict_t_V = part_2_body_int(no, V_pqrs)
     f_dressed = mycc.get_T1_dressed_fock(fock, res["t1"], dict_t_V)
-    V_dressed = mycc.get_T1_dressed_V(res["t1"], dict_t_V)
+    # dressing only the 11 blocks the sigma builds touch must suffice
+    from pymes_tpu.solver.ccsd import EOM_DRESSED
+    V_dressed = mycc.get_T1_dressed_V(res["t1"], dict_t_V,
+                                      {k: None for k in EOM_DRESSED})
 
     solver = eom_ccsd.EOM_CCSD(no, n_excit=2)
     solver.max_iter = 1000
