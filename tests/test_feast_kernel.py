@@ -8,6 +8,8 @@ import pytest
 
 from pymes_tpu.solver import feast_kernel
 
+DATA = os.path.join(os.path.dirname(__file__), "data")
+
 
 def test_feast_kernel_dense():
     """The generic kernel must isolate window eigenvalues of a random
@@ -70,6 +72,54 @@ def test_rt_step_dense():
     phase = np.vdot(got, want)
     phase /= abs(phase)
     assert np.linalg.norm(got * phase - want) < 1e-7
+
+
+def test_feast_kernel_over_native_sigma():
+    """The generic FEAST kernel driven by the native jitted EOM-CCSD sigma
+    matvec must find the same window root as Davidson — the production
+    molecular path (reference: pyscf-bound) exercised against our own
+    backend."""
+    import jax.numpy as jnp
+
+    from pymes_tpu.integral.partition import part_2_body_int
+    from pymes_tpu.mean_field import hf
+    from pymes_tpu.solver import ccsd, eom_ccsd
+    from pymes_tpu.solver.eom_ccsd import (get_diag_doubles,
+                                           get_diag_singles,
+                                           sigma_doubles, sigma_singles)
+    from pymes_tpu.util import fcidump
+
+    n_elec, nb, e_core, e_orb, h_pq, V_pqrs = fcidump.read(
+        os.path.join(DATA, "FCIDUMP.H2.sto6g"))
+    no = n_elec // 2
+    fock = hf.construct_hf_matrix(no, h_pq, V_pqrs)
+    mycc = ccsd.CCSD(no)
+    res = mycc.solve(fock, V_pqrs, delta_e=1e-12, max_iter=100)
+    dict_t_V = part_2_body_int(no, V_pqrs)
+    fd = mycc.get_T1_dressed_fock(fock, res["t1"], dict_t_V)
+    Vd = mycc.get_T1_dressed_V(res["t1"], dict_t_V)
+    T2 = res["t2"]
+    nv = T2.shape[0]
+    n1 = nv * no
+
+    e_dav = eom_ccsd.EOM_CCSD(no, n_excit=1).solve(fd, Vd, T2)[0]
+
+    def matvec(x):
+        u1 = jnp.asarray(x[:n1].reshape(nv, no))
+        u2 = jnp.asarray(x[n1:].reshape(nv, nv, no, no))
+        w1 = sigma_singles(fd, Vd, u1, u2, T2)
+        w2 = sigma_doubles(fd, Vd, u1, u2, T2)
+        return np.concatenate([np.asarray(w1).ravel(),
+                               np.asarray(w2).ravel()])
+
+    diag = np.concatenate([
+        np.asarray(get_diag_singles(fd, Vd, T2)).ravel(),
+        np.asarray(get_diag_doubles(fd, Vd, T2)).ravel()])
+
+    eigvals, u = feast_kernel.feast(
+        matvec, diag, nroots=2, e_c=float(e_dav), e_r=0.2, max_cycle=40,
+        conv_tol=1e-10, ls_max_iter=100, seed=3, verbose=False)
+    assert np.min(np.abs(eigvals.real - e_dav)) < 1e-6
 
 
 def test_pyscf_adapter_gated():
