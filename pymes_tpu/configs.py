@@ -23,6 +23,7 @@ class GroundStateConfig:
     is_dcd: bool = False          # distinguishable-cluster approximation
     is_dr_ccd: bool = False       # direct-ring (dRPA) channel only
     is_bruekner: bool = False     # quasi-particle energy updates
+    mixed_precision: bool = False  # f32 bulk + f64 polish schedule
     log_iterations: bool = False
 
     def make_ccd(self):
