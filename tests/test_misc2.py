@@ -76,3 +76,10 @@ def test_calc_gamma_ftod():
         name, dims, data = cc4s_interface.read_cc4s_tensor("FTOD.dat")
         assert dims == list(gamma.shape)
         assert np.allclose(data.reshape(gamma.shape), gamma)
+
+
+def test_reference_import_alias():
+    """Reference-style import path works: pymes_tpu.model.ueg."""
+    from pymes_tpu.model import ueg as ueg_alias
+    from pymes_tpu.models import ueg as ueg_real
+    assert ueg_alias.UEG is ueg_real.UEG
