@@ -19,5 +19,10 @@ if "xla_force_host_platform_device_count" not in flags:
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+# CPU-specific compilation cache: the shared default dir also receives
+# entries from the axon remote-compile helper whose host CPU features
+# differ (XLA warns about SIGILL risk when loading them)
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.expanduser("~/.cache/jax_pymes_cpu"))
 
 import pymes_tpu  # noqa: E402,F401  (enables x64)
