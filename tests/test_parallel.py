@@ -105,6 +105,23 @@ def test_sharded_matrix_free_ladder():
 
 
 @needs_8
+def test_ring_ladder():
+    """Ring-accumulated ladder (ppermute around the mesh) equals the dense
+    contraction; T2 is never gathered whole on any device."""
+    from pymes_tpu.parallel.ring_ladder import ring_ladder
+
+    rng = np.random.default_rng(0)
+    no, nv, n_dev = 3, 16, 4
+    V = rng.standard_normal((nv, nv, nv, nv))
+    T = rng.standard_normal((nv, nv, no, no))
+    want = np.einsum("abcd,cdij->abij", V, T)
+
+    m = pmesh.make_mesh(n_dev, axis_names=("a",))
+    got = np.asarray(ring_ladder(jnp.asarray(V), jnp.asarray(T), m))
+    assert np.abs(got - want).max() < 1e-12
+
+
+@needs_8
 def test_sharded_ueg_ccd_oracle():
     """Full CCD solve with V/T sharded over 8 devices reproduces the UEG
     golden energy (the CTF-replacement end-to-end check)."""
