@@ -36,20 +36,27 @@ class UEGLadder(NamedTuple):
 
 
 def build_ueg_ladder(ueg_model, correlator=None, dtype=np.float64,
-                     **integral_flags):
+                     bra="virtual", **integral_flags):
     """Build the ladder plan from a UEG model.
 
     The weights are taken from the same vectorized integral engine as the
     dense path (so every (p,r)-structured integral class is supported);
     transfers with all-invalid images are pruned.
+
+    ``bra="virtual"`` builds the plain pp-ladder plan (images of virtual
+    orbitals); ``bra="all"`` spans all orbitals on the bra side — the plan
+    needed for the T1-*dressed* ladder of CCSD
+    (:func:`dressed_ladder_apply`), whose W intermediate carries occupied
+    bra indices.
     """
     no = ueg_model.n_ele // 2
     n_p = ueg_model.n_spatial
     nv = n_p - no
     k_int = ueg_model.basis.k_int
+    k_bra = k_int if bra == "all" else k_int[no:]
 
-    # distinct transfers q = k_c − k_a over virtual pairs
-    d_int = (k_int[None, no:, :] - k_int[no:, None, :]).reshape(-1, 3)
+    # distinct transfers q = k_c − k_p over (bra, virtual) pairs
+    d_int = (k_int[None, no:, :] - k_bra[:, None, :]).reshape(-1, 3)
     q_vecs, _ = np.unique(d_int, axis=0, return_inverse=True)
 
     # weights from the integral engine: w(p, r) with r = image of p under q.
@@ -85,12 +92,11 @@ def build_ueg_ladder(ueg_model, correlator=None, dtype=np.float64,
             "non-hermitian class depends on (r, s) and needs the dense "
             "block")
 
-    # gather images: c(a, q) = lookup(k_a + q) − no (virtual index), and
-    # d(b, q) = lookup(k_b − q) − no
-    k_virt = k_int[no:]
-    C = ueg_model._lookup_flat(k_virt[None, :, :] + q_vecs[:, None, :])
-    D = ueg_model._lookup_flat(k_virt[None, :, :] - q_vecs[:, None, :])
-    C = np.where(C >= no, C - no, -1)     # occupied images are not ladder
+    # gather images: c(p, q) = lookup(k_p + q) − no (virtual index), and
+    # d(p', q) = lookup(k_p' − q) − no
+    C = ueg_model._lookup_flat(k_bra[None, :, :] + q_vecs[:, None, :])
+    D = ueg_model._lookup_flat(k_bra[None, :, :] - q_vecs[:, None, :])
+    C = np.where(C >= no, C - no, -1)     # images must be virtual (c, d)
     D = np.where(D >= no, D - no, -1)
 
     keep = ~((C < 0).all(axis=1) | (D < 0).all(axis=1) | (w == 0.0))
@@ -113,9 +119,10 @@ def ueg_ladder_apply(ladder: UEGLadder, T_abij, chunk=1):
     w = jnp.pad(ladder.w, (0, pad))
     C = jnp.pad(ladder.C, ((0, pad), (0, 0)), constant_values=-1)
     D = jnp.pad(ladder.D, ((0, pad), (0, 0)), constant_values=-1)
+    n_bra = ladder.C.shape[1]
     w = w.reshape(-1, chunk)
-    C = C.reshape(-1, chunk, nv)
-    D = D.reshape(-1, chunk, nv)
+    C = C.reshape(-1, chunk, n_bra)
+    D = D.reshape(-1, chunk, n_bra)
 
     def one_q(w_q, c_q, d_q):
         valid = ((c_q >= 0)[:, None] & (d_q >= 0)[None, :])
@@ -127,6 +134,31 @@ def ueg_ladder_apply(ladder: UEGLadder, T_abij, chunk=1):
         contrib = jax.vmap(one_q)(w_c, c_c, d_c)
         return acc + contrib.sum(axis=0), None
 
-    acc0 = jnp.zeros_like(T_abij)
+    # output bra dims follow the plan (nv for the plain ladder, nb for the
+    # all-bra plan of the dressed ladder)
+    out_shape = (C.shape[-1], D.shape[-1]) + T_abij.shape[2:]
+    acc0 = jnp.zeros(out_shape, T_abij.dtype)
     out, _ = jax.lax.scan(step, acc0, (w, C, D))
     return out
+
+
+def dressed_ladder_apply(ladder_all: UEGLadder, T_ai, T_abij, no):
+    """T1-dressed ladder  R_abij = Σ_cd V̄_abcd T_cdij  without building
+    V̄_abcd: the bra dressing is rank-1 (Λ = I − T̂, ccsd formalism), so
+
+    ``R = W[v,v] − T1·W[o,v] − W[v,o]·T1 + T1·W[o,o]·T1``
+
+    with ``W_pqij = Σ_cd V_pqcd T_cdij`` from the all-bra gather plan
+    (the ket dressing is the identity on the all-virtual ket of abcd).
+    """
+    W = ueg_ladder_apply(ladder_all, T_abij)
+    W_vv = W[no:, no:]
+    W_ov = W[:no, no:]
+    W_vo = W[no:, :no]
+    W_oo = W[:no, :no]
+    T1 = jnp.asarray(T_ai)
+    R = W_vv
+    R = R - jnp.einsum("ak,kbij->abij", T1, W_ov)
+    R = R - jnp.einsum("bl,alij->abij", T1, W_vo)
+    R = R + jnp.einsum("ak,bl,klij->abij", T1, T1, W_oo)
+    return R

@@ -70,7 +70,7 @@ def blocks_from_dict(dict_t_V):
 
 @partial(jax.jit, static_argnames=("is_dcd", "is_bruekner"))
 def doubles_residual(t_fock_ab, t_fock_ij, t_T_abij, blocks: CCDBlocks,
-                     is_dcd=False, is_bruekner=False):
+                     is_dcd=False, is_bruekner=False, t_T_ai=None):
     """CCD/DCD doubles residual R_abij.
 
     Same diagrams as ``pymes/solver/ccd.py:164``: particle-particle ladder,
@@ -90,9 +90,19 @@ def doubles_residual(t_fock_ab, t_fock_ij, t_T_abij, blocks: CCDBlocks,
     R = V.abij
     R = R + jnp.einsum("klij,abkl->abij", I_klij, t_T_abij)
     if V.ladder is not None:
-        # matrix-free UEG ladder: gather-sum over momentum transfers
-        from pymes_tpu.ops.ueg_ladder import ueg_ladder_apply
-        R = R + ueg_ladder_apply(V.ladder, t_T_abij)
+        # matrix-free UEG ladder: gather-sum over momentum transfers;
+        # with T1 present the plan must be all-bra and the rank-1 bra
+        # dressing is applied around the gather (T1-dressed CCSD)
+        from pymes_tpu.ops.ueg_ladder import (dressed_ladder_apply,
+                                              ueg_ladder_apply)
+        no_ = t_fock_ij.shape[0]
+        if t_T_ai is not None:
+            R = R + dressed_ladder_apply(V.ladder, t_T_ai, t_T_abij, no_)
+        else:
+            W = ueg_ladder_apply(V.ladder, t_T_abij)
+            if W.shape[0] != t_T_abij.shape[0]:  # all-bra plan: take vv
+                W = W[no_:, no_:]
+            R = R + W
     else:
         R = R + ppl_contract(V.abcd, t_T_abij)  # pp ladder (hot)
 

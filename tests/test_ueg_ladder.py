@@ -46,6 +46,54 @@ def test_ladder_matches_dense_hermitian_tc():
     assert np.abs(R_mf - R_dense).max() < 1e-12
 
 
+def test_dressed_ladder_matches_dense():
+    """Matrix-free T1-dressed ladder (all-bra gather + rank-1 Λ) equals the
+    dense dressed V̄_abcd contraction."""
+    from pymes_tpu.ops.ueg_ladder import dressed_ladder_apply
+    from pymes_tpu.solver.ccsd import get_T1_dressed_V
+    from pymes_tpu.integral.partition import part_2_body_int
+
+    u = ueg.UEG(14, 7, 7, 1.0)
+    u.init_single_basis(2)
+    V = np.asarray(u.eval_2b_integrals())
+    no = 7
+    nv = u.n_spatial - no
+    rng = np.random.default_rng(2)
+    T1 = rng.standard_normal((nv, no)) * 0.1
+    T2 = rng.standard_normal((nv, nv, no, no)) * 0.1
+
+    Vd = get_T1_dressed_V(T1, part_2_body_int(no, V), keys=("abcd",))
+    want = np.einsum("abcd,cdij->abij", np.asarray(Vd["abcd"]), T2)
+
+    lad_all = build_ueg_ladder(u, bra="all")
+    got = np.asarray(dressed_ladder_apply(lad_all, T1, T2, no))
+    assert np.abs(got - want).max() < 1e-12
+
+
+def test_ueg_ccsd_matrix_free_matches_dense():
+    """Full CCSD through the matrix-free dressed ladder equals dense CCSD
+    (no nv⁴ object is ever built on the matrix-free path)."""
+    from pymes_tpu.integral.partition import part_2_body_int
+    from pymes_tpu.solver import ccsd as ccsd_mod
+
+    u = ueg.UEG(14, 7, 7, 1.0)
+    u.init_single_basis(2)
+    V = np.asarray(u.eval_2b_integrals())
+    no = 7
+    fock = np.asarray(hf.construct_hf_matrix(
+        no, np.diag(u.kinetic_energies()), V))
+
+    e_dense = ccsd_mod.CCSD(no).solve(fock, V, delta_e=1e-10,
+                                      max_iter=100)["ccsd e"]
+
+    dict_V = {k: v for k, v in part_2_body_int(no, V).items()
+              if k != "abcd"}
+    lad_all = build_ueg_ladder(u, bra="all")
+    e_mf = ccsd_mod.CCSD(no).solve(fock, dict_V, delta_e=1e-10,
+                                   max_iter=100, ladder=lad_all)["ccsd e"]
+    assert abs(e_mf - e_dense) < 1e-10
+
+
 def test_ueg_ccd_oracle_matrix_free():
     """The UEG CCD golden energy through the matrix-free ladder — the nv⁴
     ``abcd`` block is never built."""
