@@ -565,10 +565,18 @@ def sparse_to_dense(idx, vals, n_p, dtype=None):
     """
     import jax.numpy as jnp
 
+    if n_p ** 4 >= 2 ** 31:
+        # the validated flat-scatter path uses int32 indices (int64 device
+        # scatter is unverified on this backend); at this size the dense
+        # tensor is impractical anyway — use sparse_to_blocks or the
+        # matrix-free ladder
+        raise ValueError(
+            f"dense scatter index would overflow int32 (n_p={n_p}); use "
+            "sparse_to_blocks / the matrix-free ladder for large bases")
     vals = jnp.asarray(vals, dtype=dtype)
     idx = np.asarray(idx)
-    flat = (((idx[:, 0] * n_p + idx[:, 1]) * n_p + idx[:, 2]) * n_p
-            + idx[:, 3]).astype(np.int32)
+    flat = (((idx[:, 0].astype(np.int64) * n_p + idx[:, 1]) * n_p
+             + idx[:, 2]) * n_p + idx[:, 3]).astype(np.int32)
     V = jnp.zeros(n_p ** 4, dtype=vals.dtype)
     return V.at[jnp.asarray(flat)].set(vals).reshape((n_p,) * 4)
 
@@ -602,12 +610,16 @@ def sparse_to_blocks(idx, vals, n_p, no, names=None, dtype=None):
             if not w:
                 sub[:, slot] -= no
             dims.append(no if w else n_p - no)
-        flat = sub[:, 0]
+        flat = sub[:, 0].astype(np.int64)
         for slot in range(1, 4):
             flat = flat * dims[slot] + sub[:, slot]
+        # the validated device-scatter path uses int32 indices
+        if int(np.prod(dims)) >= 2 ** 31:
+            raise ValueError(f"block {name} too large for the int32 "
+                             "scatter path")
         v = jnp.asarray(vals[mask], dtype=dtype)
         buf = jnp.zeros(int(np.prod(dims)), dtype=v.dtype)
-        out[name] = buf.at[jnp.asarray(flat.astype(np.int64))].set(
+        out[name] = buf.at[jnp.asarray(flat.astype(np.int32))].set(
             v).reshape(dims)
     return out
 

@@ -229,8 +229,9 @@ class FEAST_EOM_CCSD(EOM_CCSD):
                     B[j, i] = Q[j] @ Q[i]
             self.eigvals, self.eigvecs = eig(H_proj, B)
             # a singular B (trial space larger than the window eigencount)
-            # yields inf/nan pairs — drop them from the update and the
-            # convergence norm
+            # yields inf/nan pairs — drop those COLUMNS from the update and
+            # the convergence norm (each eigenvector still has m rows: the
+            # rotation must always sum over the full subspace dimension)
             finite = np.isfinite(self.eigvals)
             if not finite.all():
                 self.eigvals = self.eigvals[finite]
@@ -244,14 +245,14 @@ class FEAST_EOM_CCSD(EOM_CCSD):
             if m < self.n_trial:
                 for l in range(len(self.eigvals)):
                     new = sum(np.real(self.eigvecs[i, l]) * Q[i]
-                              for i in range(len(self.eigvals)))
+                              for i in range(m))
                     self.u_singles.append(new[:n1].reshape(nv, no))
                     self.u_doubles.append(
                         new[n1:].reshape(nv, nv, no, no))
             else:
                 for l in range(len(self.eigvals)):
                     upd = sum(np.real(self.eigvecs[i, l]) * Q[i]
-                              for i in range(len(self.eigvals)))
+                              for i in range(m))
                     self.u_singles[l] = self.u_singles[l] \
                         + upd[:n1].reshape(nv, no)
                     self.u_doubles[l] = self.u_doubles[l] \

@@ -48,27 +48,33 @@ class SolverCheckpoint:
             count=jnp.asarray(self.diis_count, dtype=jnp.int32))
 
 
+def _base(path):
+    path = str(path)
+    return path[:-4] if path.endswith(".npz") else path
+
+
 def save(path, ckpt: SolverCheckpoint):
-    """Write a checkpoint (.npz + sidecar json metadata)."""
-    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    """Write a checkpoint (<base>.npz + <base>.json sidecar metadata)."""
+    base = _base(path)
+    os.makedirs(os.path.dirname(os.path.abspath(base)), exist_ok=True)
     arrays = {"t2": np.asarray(ckpt.t2)}
     if ckpt.t1 is not None:
         arrays["t1"] = np.asarray(ckpt.t1)
     if ckpt.diis_amps is not None:
         arrays["diis_amps"] = np.asarray(ckpt.diis_amps)
         arrays["diis_errs"] = np.asarray(ckpt.diis_errs)
-    np.savez_compressed(path, **arrays)
+    np.savez_compressed(base + ".npz", **arrays)
     meta = dict(ckpt.meta, energy=float(ckpt.energy),
                 iteration=int(ckpt.iteration),
                 diis_count=int(ckpt.diis_count))
-    with open(str(path) + ".json", "w") as f:
+    with open(base + ".json", "w") as f:
         json.dump(meta, f)
 
 
 def load(path) -> SolverCheckpoint:
-    data = np.load(path if str(path).endswith(".npz") else str(path) + ".npz")
-    meta_path = (str(path) + ".json" if not str(path).endswith(".npz")
-                 else str(path)[:-4] + ".json")
+    base = _base(path)
+    data = np.load(base + ".npz")
+    meta_path = base + ".json"
     meta = {}
     if os.path.exists(meta_path):
         with open(meta_path) as f:

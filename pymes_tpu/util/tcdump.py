@@ -87,20 +87,47 @@ def unique_index(p, q):
 
 
 def write(t_L_orpsqt, file_name="TCDUMP", sym=True, type="r", sp=1):
-    """Write the unique symmetry triangle of a dense 6-index L tensor
-    (inverse of :func:`read`; values stored as ``−L/3``).  Dense-array-native
-    replacement for ``pymes/util/tcdump.py:6`` whose CTF path is broken."""
+    """Write one canonical representative per 6-fold permutation orbit of a
+    dense 6-index L tensor (inverse of :func:`read`; values stored as
+    ``−L/3``).
+
+    The canonical entry is the lexicographically smallest (o,p,q,r,s,t)
+    under the 6 joint pair permutations.  (The reference writer,
+    ``pymes/util/tcdump.py:23``, filters on ``o<=p<=q`` AND an ordering of
+    pair indices — conditions that can be jointly unsatisfiable for every
+    permutation of an orbit, silently dropping integrals: 87 of 532 nonzero
+    entries of the shipped LiH_FNO dump fail its round trip.)
+    """
+    import itertools
+
     nb = t_L_orpsqt.shape[0]
     o, r, p, s, q, t = np.nonzero(np.abs(t_L_orpsqt) > 1e-10)
     vals = t_L_orpsqt[o, r, p, s, q, t]
+    phys = np.stack([o, p, q, r, s, t], axis=1)   # physicists' (opq|rst)
+
+    # canonical representative: lexicographic min over the 6 permutations
+    kets = phys[:, :3]
+    bras = phys[:, 3:]
+    best = None
+    for per in itertools.permutations(range(3)):
+        cand = np.concatenate([kets[:, per], bras[:, per]], axis=1)
+        if best is None:
+            best = cand
+            continue
+        smaller = np.zeros(len(cand), dtype=bool)
+        decided = np.zeros(len(cand), dtype=bool)
+        for col in range(6):
+            lt = (cand[:, col] < best[:, col]) & ~decided
+            gt = (cand[:, col] > best[:, col]) & ~decided
+            smaller |= lt
+            decided |= lt | gt
+        best = np.where(smaller[:, None], cand, best)
+    is_canon = np.all(phys == best, axis=1)
+
     with open(file_name, "w") as f:
         f.write(str(nb) + "\n")
-        for n in range(len(vals)):
-            on, pn, qn = o[n], p[n], q[n]
-            rn, sn, tn = r[n], s[n], t[n]
-            if (on <= pn <= qn) and (unique_index(on, rn)
-                                     <= unique_index(pn, sn)
-                                     <= unique_index(qn, tn)):
-                f.write(str(-vals[n] / 3.0) + " " + str(on + 1) + " "
-                        + str(pn + 1) + " " + str(qn + 1) + " " + str(rn + 1)
-                        + " " + str(sn + 1) + " " + str(tn + 1) + "\n")
+        for n in np.nonzero(is_canon)[0]:
+            on, pn, qn, rn, sn, tn = phys[n]
+            f.write(str(-vals[n] / 3.0) + " " + str(on + 1) + " "
+                    + str(pn + 1) + " " + str(qn + 1) + " " + str(rn + 1)
+                    + " " + str(sn + 1) + " " + str(tn + 1) + "\n")

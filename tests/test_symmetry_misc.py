@@ -46,11 +46,16 @@ def test_symmetrize_idempotent():
 
 
 def test_tcdump_write_read_roundtrip(tmp_path):
-    t_L = tcdump.read(os.path.join(DATA, "TCDUMP.H2.tc"))
-    out = tmp_path / "TCDUMP.out"
-    tcdump.write(t_L, str(out))
-    t_L2 = tcdump.read(str(out))
-    assert np.abs(t_L - t_L2).max() < 1e-12
+    # LiH_FNO exercises orbits where the reference writer's triangle
+    # filter (o<=p<=q AND pair-index ordering) is unsatisfiable for every
+    # permutation — its round trip drops 87/532 entries; the canonical-
+    # representative writer here must be lossless on both dumps
+    for dump in ("TCDUMP.H2.tc", "TCDUMP.LiH_FNO"):
+        t_L = tcdump.read(os.path.join(DATA, dump))
+        out = tmp_path / ("out_" + dump)
+        tcdump.write(t_L, str(out))
+        t_L2 = tcdump.read(str(out))
+        assert np.abs(t_L - t_L2).max() < 1e-12, dump
 
 
 def test_brueckner_ccd():

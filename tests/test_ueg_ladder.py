@@ -72,7 +72,13 @@ def test_dressed_ladder_matches_dense():
 
 def test_ueg_ccsd_matrix_free_matches_dense():
     """Full CCSD through the matrix-free dressed ladder equals dense CCSD
-    (no nv⁴ object is ever built on the matrix-free path)."""
+    (no nv⁴ object is ever built on the matrix-free path).
+
+    The Fock matrix gets small symmetric off-diagonal noise so that T1 is
+    genuinely NONZERO — at the clean Γ-point UEG, momentum conservation
+    forces T1 ≡ 0, which would mask any defect in the T1-dressed ladder
+    assembly (it did: an earlier version double-counted the bra-dressing
+    terms, invisible at T1 = 0, caught by review)."""
     from pymes_tpu.integral.partition import part_2_body_int
     from pymes_tpu.solver import ccsd as ccsd_mod
 
@@ -82,16 +88,20 @@ def test_ueg_ccsd_matrix_free_matches_dense():
     no = 7
     fock = np.asarray(hf.construct_hf_matrix(
         no, np.diag(u.kinetic_energies()), V))
+    rng = np.random.default_rng(5)
+    noise = rng.standard_normal(fock.shape) * 0.02
+    fock = fock + noise + noise.T
 
-    e_dense = ccsd_mod.CCSD(no).solve(fock, V, delta_e=1e-10,
-                                      max_iter=100)["ccsd e"]
+    res_dense = ccsd_mod.CCSD(no).solve(fock, V, delta_e=1e-10,
+                                        max_iter=200)
+    assert float(np.abs(np.asarray(res_dense["t1"])).max()) > 1e-3
 
     dict_V = {k: v for k, v in part_2_body_int(no, V).items()
-              if k != "abcd"}
+              if k not in ("abcd", "abci")}
     lad_all = build_ueg_ladder(u, bra="all")
-    e_mf = ccsd_mod.CCSD(no).solve(fock, dict_V, delta_e=1e-10,
-                                   max_iter=100, ladder=lad_all)["ccsd e"]
-    assert abs(e_mf - e_dense) < 1e-10
+    res_mf = ccsd_mod.CCSD(no).solve(fock, dict_V, delta_e=1e-10,
+                                     max_iter=200, ladder=lad_all)
+    assert abs(res_mf["ccsd e"] - res_dense["ccsd e"]) < 1e-9
 
 
 def test_ueg_ccd_oracle_matrix_free():
