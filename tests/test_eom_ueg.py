@@ -37,6 +37,29 @@ def test_ueg_eom_davidson_consistency():
     e2 = np.sort(dav2.solve(fd, Vd, res["t2"]))
     assert np.all(np.isfinite(e2))
 
+    # matrix-free sigma: replace the dressed abcd block with the gather
+    # plan (exact here: T1 = 0 at the Γ-point, so V̄_abcd = V_abcd).
+    # Compared at the sigma-matvec level — bitwise-level equality is the
+    # actual property; full Davidson outcomes are basin-sensitive on this
+    # pathological metallic spectrum (negative near-degenerate roots), so
+    # tiny rounding differences between the two jaxprs can legitimately
+    # select different roots.
+    from pymes_tpu.ops.ueg_ladder import build_ueg_ladder
+
+    assert float(np.abs(np.asarray(res["t1"])).max()) < 1e-10
+    Vd_mf = {k: v for k, v in Vd.items() if k != "abcd"}
+    Vd_mf["abcd"] = None
+    Vd_mf["abcd_ladder"] = build_ueg_ladder(u)
+    rng = np.random.default_rng(4)
+    nv = res["t2"].shape[0]
+    U1 = rng.standard_normal((2, nv, no))
+    U2 = rng.standard_normal((2, nv, nv, no, no))
+    dav_mf = eom_ccsd.EOM_CCSD(no, n_excit=2)
+    W1a, W2a = dav_mf._batched_sigma(fd, Vd, U1, U2, res["t2"])
+    W1b, W2b = dav_mf._batched_sigma(fd, Vd_mf, U1, U2, res["t2"])
+    assert np.abs(W1a - W1b).max() < 1e-12
+    assert np.abs(W2a - W2b).max() < 1e-12
+
     # the UEG's degenerate shells make trailing roots of a small-subspace
     # Davidson unreliable (n_excit=2 misses a degenerate partner and its
     # 2nd "root" is a subspace mixture); the invariant that holds is that
