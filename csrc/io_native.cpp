@@ -28,10 +28,22 @@ int64_t parse_records(const char* text, int64_t len, int32_t ints_per_rec,
         while (p < end && (*p == ' ' || *p == '\n' || *p == '\t' ||
                            *p == '\r')) p++;
         if (p >= end) break;
+        // copy the token into a small buffer, translating Fortran 'D'/'d'
+        // exponents (1.0D-5) that strtod does not understand
+        char buf[64];
+        int64_t t = 0;
+        const char* q = p;
+        while (q < end && t < 63 && *q != ' ' && *q != '\n' && *q != '\t' &&
+               *q != '\r') {
+            char c = *q++;
+            if (c == 'D' || c == 'd') c = 'e';
+            buf[t++] = c;
+        }
+        buf[t] = '\0';
         char* next = nullptr;
-        double v = strtod(p, &next);
-        if (next == p) break;  // malformed tail
-        p = next;
+        double v = strtod(buf, &next);
+        if (next != buf + t) break;  // malformed token: stop, caller checks
+        p = q;
         bool ok = true;
         for (int32_t k = 0; k < ints_per_rec; ++k) {
             while (p < end && (*p == ' ' || *p == '\n' || *p == '\t' ||

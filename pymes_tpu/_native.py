@@ -42,9 +42,19 @@ _lib = _load()
 
 def parse_integral_lines(body, ints_per_rec=4):
     """Parse '<float> <int>*k' records from a text body into
-    (values (n,), indices (n, k)) numpy arrays."""
+    (values (n,), indices (n, k)) numpy arrays.
+
+    Raises ValueError when the body does not tokenize into an exact
+    number of records or the C parser stopped early (e.g. stray text) —
+    a silent partial parse would mean silently wrong integrals; callers
+    fall back to the loud pure-numpy path.
+    """
     raw = body.encode() if isinstance(body, str) else body
     n_tok = _lib.count_tokens(raw, len(raw))
+    if n_tok % (1 + ints_per_rec) != 0:
+        raise ValueError(
+            f"integral body has {n_tok} tokens, not a multiple of "
+            f"{1 + ints_per_rec}")
     cap = n_tok // (1 + ints_per_rec) + 1
     vals = np.empty(cap, dtype=np.float64)
     idx = np.empty(cap * ints_per_rec, dtype=np.int64)
@@ -52,4 +62,8 @@ def parse_integral_lines(body, ints_per_rec=4):
         raw, len(raw), ints_per_rec,
         vals.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
         idx.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)), cap)
+    if n != n_tok // (1 + ints_per_rec):
+        raise ValueError(
+            f"native parser stopped after {n} of "
+            f"{n_tok // (1 + ints_per_rec)} records (malformed token)")
     return vals[:n], idx[: n * ints_per_rec].reshape(n, ints_per_rec)

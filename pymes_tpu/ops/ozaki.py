@@ -1,0 +1,178 @@
+"""Ozaki-split f64 matmul on the TPU's integer MXU path.
+
+TPU MXUs have no native f64; XLA emulates f64 matmuls in software and the
+round-1 double-single Pallas kernel bottomed out at ~1e-7 relative because
+the MXU's per-product f32 accumulation rounds.  The fix (Ozaki scheme,
+Ozaki et al., Numer. Algorithms 59, 2012; int8 variant Ootomo et al.,
+IJHPCA 2024) is to make every MXU operation *exact*:
+
+* scale each row of A (column of B) by a power of two so |x| < 1,
+* split the scaled mantissa into ``n_slices`` signed 6-bit integer slices
+  (``x = sum_s q_s * 64**-(s+1)``, |q_s| <= 63, truncation toward zero),
+* multiply slices on the MXU as int8 x int8 -> int32 ``dot_general``s —
+  every product (<= 2^12) and every int32 accumulation is exact,
+* reconstruct in f64: slice-pair diagonals d = i+j share the scale
+  ``64**-(d+2)``, so all pairs on a diagonal are fused into ONE matmul by
+  concatenating slices along K, leaving ~``t_cutoff+1`` integer matmuls
+  and one f64 scale-and-add sweep per diagonal.
+
+Exactness bound per diagonal: |sum| <= (d+1)*K*63^2 must stay below 2^31;
+``matmul`` auto-chunks K when it would not.  Dropped pairs (i+j >
+``t_cutoff``) and the slice-representation tail bound the error at
+~``(t_cutoff+2)*2**(-6*(t_cutoff+1)) + 2**(-6*n_slices+1)`` relative to
+``K * rowmax(A) * colmax(B)`` — defaults (9, 9) land at ~1e-15 normwise,
+i.e. genuine f64; (5, 4) is a cheap ~1e-8 tier for early CC iterations.
+
+Replaces the role of the reference's CTF/BLAS dgemm underneath every hot
+contraction (``pymes/solver/ccd.py:187`` and friends); no reference code
+is used.
+"""
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+SLICE_BITS = 6
+RADIX = float(1 << SLICE_BITS)  # 64
+_INT32_HEADROOM = (1 << 31) - 1
+_PROD_MAX = 63 * 63
+
+
+def _slice_scaled(x, n_slices, axis):
+    """Split f64 ``x`` into int8 slices with power-of-two scales.
+
+    Returns ``(slices, e)`` with ``slices`` of shape ``(n_slices,) + x.shape``
+    (int8) and ``e`` int32 exponents broadcastable against ``x`` along
+    ``axis`` such that ``x = 2.**e * sum_s slices[s] * RADIX**-(s+1)``
+    up to a ``2**(-SLICE_BITS*n_slices)`` relative-to-scale tail.
+    """
+    amax = jnp.max(jnp.abs(x), axis=axis, keepdims=True)
+    # frexp: amax = m * 2^e with m in [0.5, 1)  =>  |x| * 2^-e <= m < 1
+    _, e = jnp.frexp(amax)
+    e = jnp.where(amax > 0, e, 0).astype(jnp.int32)
+    y = jnp.ldexp(x, -e)
+    slices = []
+    for _ in range(n_slices):
+        y = y * RADIX
+        q = jnp.trunc(y)
+        slices.append(q.astype(jnp.int8))
+        y = y - q
+    return jnp.stack(slices), e
+
+
+def slice_rows(a, n_slices):
+    """Pre-slice the left operand (scales per row). a: (M, K) f64."""
+    s, e = _slice_scaled(a, n_slices, axis=1)
+    return s, e[:, 0]
+
+
+def slice_cols(b, n_slices):
+    """Pre-slice the right operand (scales per column). b: (K, N) f64."""
+    s, e = _slice_scaled(b, n_slices, axis=0)
+    return s, e[0, :]
+
+
+def _int_dot(a8, b8):
+    return jax.lax.dot_general(
+        a8, b8, (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32)
+
+
+def matmul_presliced(sa, ea, sb, eb, t_cutoff):
+    """f64 C = A @ B from pre-sliced operands.
+
+    ``sa``: (S, M, K) int8, ``ea``: (M,) int32 row exponents of A;
+    ``sb``: (S, K, N) int8, ``eb``: (N,) int32 column exponents of B.
+    """
+    n_slices = sa.shape[0]
+    k_dim = sa.shape[2]
+    t_max = min(int(t_cutoff), 2 * n_slices - 2)
+
+    # int32 exactness: (#pairs on diagonal) * k_chunk * 63^2 < 2^31
+    worst_pairs = min(t_max + 1, n_slices)
+    k_chunk = max(1, _INT32_HEADROOM // (worst_pairs * _PROD_MAX))
+    n_chunks = -(-k_dim // k_chunk)
+
+    acc = None
+    for d in range(t_max + 1):
+        pairs = [(i, d - i)
+                 for i in range(max(0, d - n_slices + 1),
+                                min(d, n_slices - 1) + 1)]
+        cat_a = jnp.concatenate([sa[i] for i, _ in pairs], axis=1)
+        cat_b = jnp.concatenate([sb[j] for _, j in pairs], axis=0)
+        if n_chunks == 1:
+            dmat = _int_dot(cat_a, cat_b)
+        else:
+            # exact-accumulation guard for very large K: sum f64 partials
+            dmat = None
+            for c in range(n_chunks):
+                lo = c * k_chunk
+                hi = min(k_dim, lo + k_chunk)
+                cols = jnp.concatenate(
+                    [sa[i, :, lo:hi] for i, _ in pairs], axis=1)
+                rows = jnp.concatenate(
+                    [sb[j, lo:hi, :] for _, j in pairs], axis=0)
+                part = _int_dot(cols, rows).astype(jnp.float64)
+                dmat = part if dmat is None else dmat + part
+        term = dmat.astype(jnp.float64) * (2.0 ** (-SLICE_BITS * (d + 2)))
+        acc = term if acc is None else acc + term
+    return jnp.ldexp(acc, ea[:, None] + eb[None, :])
+
+
+@partial(jax.jit, static_argnames=("n_slices", "t_cutoff"))
+def matmul(a, b, n_slices=9, t_cutoff=9):
+    """f64-accurate C = A @ B with all multiplies on the integer MXU."""
+    sa, ea = slice_rows(a, n_slices)
+    sb, eb = slice_cols(b, n_slices)
+    return matmul_presliced(sa, ea, sb, eb, t_cutoff)
+
+
+# ---------------------------------------------------------------------------
+# two-operand einsum adapter
+# ---------------------------------------------------------------------------
+
+def _plan(spec, a_shape, b_shape):
+    ins, out = spec.replace(" ", "").split("->")
+    sa, sb = ins.split(",")
+    if len(set(sa)) != len(sa) or len(set(sb)) != len(sb):
+        raise ValueError(f"repeated index within an operand: {spec}")
+    contracted = [c for c in sa if c in sb and c not in out]
+    batch = [c for c in sa if c in sb and c in out]
+    free_a = [c for c in sa if c not in sb]
+    free_b = [c for c in sb if c not in sa]
+    if set(out) != set(batch + free_a + free_b):
+        raise ValueError(f"output indices do not match inputs: {spec}")
+    dim = {}
+    for c, n in list(zip(sa, a_shape)) + list(zip(sb, b_shape)):
+        if dim.setdefault(c, n) != n:
+            raise ValueError(f"dimension mismatch for '{c}' in {spec}")
+    return sa, sb, out, batch, free_a, free_b, contracted, dim
+
+
+def einsum2(spec, a, b, n_slices=9, t_cutoff=9):
+    """``jnp.einsum(spec, a, b)`` computed through the Ozaki matmul.
+
+    Handles any single-contraction spec (batch indices via ``jax.vmap``).
+    """
+    sa, sb, out, batch, fa, fb, con, dim = _plan(spec, a.shape, b.shape)
+    szb = [dim[c] for c in batch]
+    m = int(np.prod([dim[c] for c in fa], initial=1))
+    k = int(np.prod([dim[c] for c in con], initial=1))
+    n = int(np.prod([dim[c] for c in fb], initial=1))
+
+    at = jnp.transpose(a, [sa.index(c) for c in batch + fa + con])
+    bt = jnp.transpose(b, [sb.index(c) for c in batch + con + fb])
+    at = at.reshape(szb + [m, k])
+    bt = bt.reshape(szb + [k, n])
+
+    f = partial(matmul, n_slices=n_slices, t_cutoff=t_cutoff)
+    if batch:
+        at = at.reshape([-1, m, k])
+        bt = bt.reshape([-1, k, n])
+        c = jax.vmap(f)(at, bt)
+    else:
+        c = f(at, bt)
+    c = c.reshape(szb + [dim[ch] for ch in fa + fb])
+    order = [(batch + fa + fb).index(ch) for ch in out]
+    return jnp.transpose(c, order)

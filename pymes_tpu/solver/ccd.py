@@ -29,6 +29,9 @@ import numpy as np
 
 from pymes_tpu.log import print_logging_info
 from pymes_tpu.mixer import diis
+from pymes_tpu.ops import contract as _ct
+from pymes_tpu.ops import ozaki
+from pymes_tpu.ops.contract import contract
 from pymes_tpu.ops.ladder import ppl_contract
 from pymes_tpu.solver import mp2
 
@@ -68,9 +71,10 @@ def blocks_from_dict(dict_t_V):
                      iabj=dict_t_V["iabj"], abcd=dict_t_V["abcd"])
 
 
-@partial(jax.jit, static_argnames=("is_dcd", "is_bruekner"))
+@partial(jax.jit, static_argnames=("is_dcd", "is_bruekner", "contract_mode"))
 def doubles_residual(t_fock_ab, t_fock_ij, t_T_abij, blocks: CCDBlocks,
-                     is_dcd=False, is_bruekner=False, t_T_ai=None):
+                     is_dcd=False, is_bruekner=False, t_T_ai=None,
+                     contract_mode="xla", abcd_presliced=None):
     """CCD/DCD doubles residual R_abij.
 
     Same diagrams as ``pymes/solver/ccd.py:164``: particle-particle ladder,
@@ -78,17 +82,27 @@ def doubles_residual(t_fock_ab, t_fock_ij, t_T_abij, blocks: CCDBlocks,
     crossed-ring terms with the spin-adapted 2T−T^x combination, quadratic
     ring terms (unless DCD), and the X_ac/X_ki dressed-Fock contributions —
     symmetrised at the end by P(ab,ij).
+
+    ``contract_mode`` selects the matmul backend for the hot contractions
+    (:mod:`pymes_tpu.ops.contract`); ``abcd_presliced`` optionally carries
+    the loop-invariant Ozaki slices of ``V.abcd`` so the fixed point never
+    re-slices the nv⁴ tensor.
     """
     V = blocks
+    cm = contract_mode
+
+    def c2(spec, x, y):
+        return contract(spec, x, y, mode=cm)
+
     tilde_T = 2.0 * t_T_abij - jnp.einsum("baij->abij", t_T_abij)
 
     # hole-hole ladder intermediate (T2-renormalised unless DCD)
     I_klij = V.klij
     if not is_dcd:
-        I_klij = I_klij + jnp.einsum("klcd,cdij->klij", V.ijab, t_T_abij)
+        I_klij = I_klij + c2("klcd,cdij->klij", V.ijab, t_T_abij)
 
     R = V.abij
-    R = R + jnp.einsum("klij,abkl->abij", I_klij, t_T_abij)
+    R = R + c2("klij,abkl->abij", I_klij, t_T_abij)
     if V.ladder is not None:
         # matrix-free UEG ladder: gather-sum over momentum transfers;
         # with T1 present the plan must be all-bra and the rank-1 bra
@@ -103,34 +117,42 @@ def doubles_residual(t_fock_ab, t_fock_ij, t_T_abij, blocks: CCDBlocks,
             if W.shape[0] != t_T_abij.shape[0]:  # all-bra plan: take vv
                 W = W[no_:, no_:]
             R = R + W
+    elif abcd_presliced is not None:
+        nv, no_ = t_T_abij.shape[1], t_T_abij.shape[3]
+        sa, ea = abcd_presliced
+        opts = _ct.parse_mode(cm) or (9, 9)
+        sb, eb = ozaki.slice_cols(
+            t_T_abij.reshape(nv * nv, no_ * no_), sa.shape[0])
+        W = ozaki.matmul_presliced(sa, ea, sb, eb, t_cutoff=opts[1])
+        R = R + W.reshape(nv, nv, no_, no_)
     else:
         R = R + ppl_contract(V.abcd, t_T_abij)  # pp ladder (hot)
 
     if not is_dcd:
-        X_alcj = jnp.einsum("klcd,adkj->alcj", V.ijab, t_T_abij)
-        R = R + jnp.einsum("alcj,cbil->abij", X_alcj, t_T_abij)
+        X_alcj = c2("klcd,adkj->alcj", V.ijab, t_T_abij)
+        R = R + c2("alcj,cbil->abij", X_alcj, t_T_abij)
 
     # quadratic ring with spin-adapted amplitudes
-    X_cbkj = jnp.einsum("klcd,dblj->cbkj", V.ijab, tilde_T)
-    R = R + jnp.einsum("acik,cbkj->abij", tilde_T, X_cbkj)
+    X_cbkj = c2("klcd,dblj->cbkj", V.ijab, tilde_T)
+    R = R + c2("acik,cbkj->abij", tilde_T, X_cbkj)
 
     # dressed one-particle intermediates; the reference applies the ±1/2
     # T~·V term once as the base dressing and once more in the non-DCD
     # branch (net factor 1 for CCD, 1/2 for DCD, 0 for Brueckner)
     coeff = (0.0 if is_bruekner else 0.5) + (0.0 if is_dcd else 0.5)
-    X_ac = t_fock_ab - coeff * jnp.einsum("adkl,lkdc->ac", tilde_T, V.ijab)
-    X_ki = t_fock_ij + coeff * jnp.einsum("cdil,lkdc->ki", tilde_T, V.ijab)
+    X_ac = t_fock_ab - coeff * c2("adkl,lkdc->ac", tilde_T, V.ijab)
+    X_ki = t_fock_ij + coeff * c2("cdil,lkdc->ki", tilde_T, V.ijab)
 
-    Ex = jnp.einsum("ac,cbij->abij", X_ac, t_T_abij)
-    Ex = Ex - jnp.einsum("ki,abkj->abij", X_ki, t_T_abij)
-    Ex = Ex - jnp.einsum("kaic,cbkj->abij", V.iajb, t_T_abij)
-    Ex = Ex - jnp.einsum("kbic,ackj->abij", V.iajb, t_T_abij)
-    Ex = Ex + jnp.einsum("acik,kbcj->abij", tilde_T, V.iabj)
+    Ex = c2("ac,cbij->abij", X_ac, t_T_abij)
+    Ex = Ex - c2("ki,abkj->abij", X_ki, t_T_abij)
+    Ex = Ex - c2("kaic,cbkj->abij", V.iajb, t_T_abij)
+    Ex = Ex - c2("kbic,ackj->abij", V.iajb, t_T_abij)
+    Ex = Ex + c2("acik,kbcj->abij", tilde_T, V.iabj)
 
     if not is_dcd:
-        X_alci = jnp.einsum("klcd,daki->alci", V.ijab, t_T_abij)
-        Ex = Ex - jnp.einsum("alci,cblj->abij", X_alci, t_T_abij)
-        Ex = Ex + jnp.einsum("alci,bclj->abij", X_alci, t_T_abij)
+        X_alci = c2("klcd,daki->alci", V.ijab, t_T_abij)
+        Ex = Ex - c2("alci,cblj->abij", X_alci, t_T_abij)
+        Ex = Ex + c2("alci,bclj->abij", X_alci, t_T_abij)
 
     R = R + Ex + jnp.einsum("abij->baji", Ex)  # P(ab,ij) symmetrisation
     return R
@@ -157,11 +179,12 @@ class CCDCarry(NamedTuple):
 
 @partial(jax.jit, static_argnames=("no", "is_dcd", "is_diis", "is_dr_ccd",
                                    "is_bruekner", "max_iter", "dim_space",
-                                   "log_iterations"))
+                                   "log_iterations", "contract_mode"))
 def ccd_solve_jit(t_fock_pq, blocks: CCDBlocks, no, t_T0_abij,
                   level_shift=0.0, delta_e=1e-8, max_iter=50,
                   is_dcd=False, is_diis=True, is_dr_ccd=False,
-                  is_bruekner=False, dim_space=6, log_iterations=False):
+                  is_bruekner=False, dim_space=6, log_iterations=False,
+                  contract_mode="xla"):
     """Fully on-device CCD fixed point: ``lax.while_loop`` over Jacobi + DIIS.
 
     Returns (e_corr, T_abij, eps_i, eps_a, dE, n_iter).
@@ -172,6 +195,16 @@ def ccd_solve_jit(t_fock_pq, blocks: CCDBlocks, no, t_T0_abij,
     f_ab = t_fock_pq[no:, no:]
     f_ij = t_fock_pq[:no, :no]
     nv = eps_a0.shape[0]
+
+    # Ozaki mode: slice the loop-invariant nv^4 ladder block once, outside
+    # the while_loop, so each iteration only slices the amplitudes
+    abcd_presliced = None
+    if (_ct.parse_mode(contract_mode) is not None
+            and blocks.abcd is not None
+            and blocks.abcd.dtype == jnp.float64):
+        n_slices = _ct.parse_mode(contract_mode)[0]
+        abcd_presliced = ozaki.slice_rows(
+            blocks.abcd.reshape(nv * nv, nv * nv), n_slices)
 
     e0_dir, e0_exc = ccd_energy(t_T0_abij, blocks.ijab)
     e0 = jnp.real(e0_dir + e0_exc)
@@ -197,7 +230,9 @@ def ccd_solve_jit(t_fock_pq, blocks: CCDBlocks, no, t_T0_abij,
                                blocks.iabj, blocks.ijab)
         else:
             R = doubles_residual(f_ab, f_ij, c.T, blocks,
-                                 is_dcd=is_dcd, is_bruekner=is_bruekner)
+                                 is_dcd=is_dcd, is_bruekner=is_bruekner,
+                                 contract_mode=contract_mode,
+                                 abcd_presliced=abcd_presliced)
 
         eps_i, eps_a = c.eps_i, c.eps_a
         if is_bruekner:
@@ -264,7 +299,7 @@ class CCD:
         self.log_iterations = False
 
     def solve(self, t_fock_pq, t_V_pqrs, level_shift=0.0, sp=0, amps=None,
-              mixed_precision=False, **kwargs):
+              mixed_precision=False, contract_mode=None, **kwargs):
         """Solve the doubles equations.
 
         ``mixed_precision=True`` runs the bulk of the fixed point in f32
@@ -272,10 +307,18 @@ class CCD:
         f64 — the energies match the all-f64 path to the convergence
         tolerance because the fixed point is self-correcting under the
         final-precision residuals.
+
+        ``contract_mode`` ("xla" | "ozaki" | "ozaki:S:T") selects the
+        matmul backend for the residual contractions; "ozaki:7:6" runs the
+        whole f64 fixed point on the integer MXU path with ~1e-9 residual
+        accuracy — ample for ``delta_e`` ≥ 1e-8 (defaults to the
+        module-wide :func:`pymes_tpu.ops.contract.get_mode`).
         """
         algo_name = "ccd.solve"
         max_iter = int(kwargs.get("max_iter", self.max_iter))
         delta_e = float(kwargs.get("delta_e", self.delta_e))
+        if contract_mode is None:
+            contract_mode = _ct.get_mode()
 
         no = self.no
         t_fock_pq = jnp.asarray(t_fock_pq)
@@ -323,7 +366,8 @@ class CCD:
             level_shift=level_shift, delta_e=delta_e, max_iter=max_iter,
             is_dcd=self.is_dcd, is_diis=self.is_diis,
             is_dr_ccd=self.is_dr_ccd, is_bruekner=self.is_bruekner,
-            dim_space=self.dim_space, log_iterations=self.log_iterations)
+            dim_space=self.dim_space, log_iterations=self.log_iterations,
+            contract_mode=contract_mode)
 
         n_iter = int(n_iter)
         if n_iter > max_iter:
