@@ -40,6 +40,26 @@ _INT32_HEADROOM = (1 << 31) - 1
 _PROD_MAX = 63 * 63
 
 
+def _pow2_f32(e):
+    """Exact f32 2**e for int32 ``e`` in [-126, 127]: assemble the
+    exponent field directly (f32 exp2 is a polynomial — NOT exact)."""
+    bits = ((e.astype(jnp.int32) + 127) << 23)
+    return jax.lax.bitcast_convert_type(bits, jnp.float32)
+
+
+def _pow2(e):
+    """Exact f64 2**e for int32 ``e`` in [-252, 254].
+
+    TPU-safe: emulated-f64 ``ldexp``/``frexp`` fail XLA's X64 rewriting
+    (s64 bitcasts), so build two exact f32 power-of-two factors from raw
+    exponent bits and multiply in f64.
+    """
+    e1 = e // 2
+    e2 = e - e1
+    return (_pow2_f32(e1).astype(jnp.float64)
+            * _pow2_f32(e2).astype(jnp.float64))
+
+
 def _slice_scaled(x, n_slices, axis):
     """Split f64 ``x`` into int8 slices with power-of-two scales.
 
@@ -47,12 +67,17 @@ def _slice_scaled(x, n_slices, axis):
     (int8) and ``e`` int32 exponents broadcastable against ``x`` along
     ``axis`` such that ``x = 2.**e * sum_s slices[s] * RADIX**-(s+1)``
     up to a ``2**(-SLICE_BITS*n_slices)`` relative-to-scale tail.
+
+    The exponent comes from f32 ``frexp`` of the row max (TPU-safe; the
+    f64→f32 conversion can over-round to the next power of two, which only
+    shifts slice alignment one harmless bit).  Rows with |max| below the
+    f32 subnormal range collapse to zero slices.
     """
     amax = jnp.max(jnp.abs(x), axis=axis, keepdims=True)
-    # frexp: amax = m * 2^e with m in [0.5, 1)  =>  |x| * 2^-e <= m < 1
-    _, e = jnp.frexp(amax)
+    # frexp on f32: amax <= m * 2^e with m in [0.5, 1]
+    _, e = jnp.frexp(amax.astype(jnp.float32))
     e = jnp.where(amax > 0, e, 0).astype(jnp.int32)
-    y = jnp.ldexp(x, -e)
+    y = x * _pow2(-e)
     slices = []
     for _ in range(n_slices):
         y = y * RADIX
@@ -117,7 +142,7 @@ def matmul_presliced(sa, ea, sb, eb, t_cutoff):
                 dmat = part if dmat is None else dmat + part
         term = dmat.astype(jnp.float64) * (2.0 ** (-SLICE_BITS * (d + 2)))
         acc = term if acc is None else acc + term
-    return jnp.ldexp(acc, ea[:, None] + eb[None, :])
+    return acc * _pow2(ea[:, None] + eb[None, :])
 
 
 @partial(jax.jit, static_argnames=("n_slices", "t_cutoff"))

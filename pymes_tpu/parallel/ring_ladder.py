@@ -9,8 +9,11 @@ shards, communication overlaps compute, peak memory stays at one T-shard.
 
 This is the CC analogue of ring attention over the virtual-orbital axis
 (SURVEY §5.7) and the explicit-collective counterpart of the GSPMD path
-used by the solvers; exactness vs the dense contraction is tested on the
-virtual CPU mesh (``tests/test_parallel.py``).
+used by the solvers.  :func:`ring_ladder_inside` is the jit-composable
+form used *inside* the solver while_loop (``ccd_solve_jit(...,
+ring_mesh=...)``), replacing CTF's distributed contraction of the same
+term (``pymes/solver/ccd.py:187``); exactness vs the dense contraction is
+tested on the virtual CPU mesh (``tests/test_parallel.py``).
 """
 
 from functools import partial
@@ -20,38 +23,43 @@ import jax.numpy as jnp
 from jax.sharding import NamedSharding, PartitionSpec as P
 
 
-def ring_ladder(V_abcd, T_cdij, mesh, axis="a"):
-    """Compute R_abij with V sharded on axis 0 and T on axis 0 over
-    ``mesh[axis]``; returns R sharded like V.  Shapes must divide the mesh.
+def _ring_kernel(V_loc, T_loc, *, axis, n_dev, csz):
+    me = jax.lax.axis_index(axis)
+    perm = [(i, (i + 1) % n_dev) for i in range(n_dev)]
+
+    def step(k, carry):
+        T_held, R = carry
+        # the shard currently held started on device (me - k) mod P
+        src = (me - k) % n_dev
+        V_slice = jax.lax.dynamic_slice_in_dim(V_loc, src * csz, csz,
+                                               axis=2)
+        R = R + jnp.einsum("abcd,cdij->abij", V_slice, T_held)
+        T_held = jax.lax.ppermute(T_held, axis, perm)
+        return T_held, R
+
+    R0 = jax.lax.pvary(
+        jnp.zeros(V_loc.shape[:1] + T_loc.shape[1:], T_loc.dtype), axis)
+    _, R = jax.lax.fori_loop(0, n_dev, step, (T_loc, R0))
+    return R
+
+
+def ring_ladder_inside(V_abcd, T_cdij, mesh, axis="a"):
+    """Jit-composable ring ladder: both operands sharded on axis 0 over
+    ``mesh[axis]`` (GSPMD rechunks if they are not); result sharded like V.
+    Safe to call inside a jitted ``lax.while_loop`` body.
     """
     n_dev = mesh.shape[axis]
     nv = T_cdij.shape[0]
+    if nv % n_dev:
+        raise ValueError(f"nv={nv} must divide the mesh axis ({n_dev})")
     csz = nv // n_dev
+    kernel = partial(_ring_kernel, axis=axis, n_dev=n_dev, csz=csz)
+    return jax.shard_map(kernel, mesh=mesh, in_specs=(P(axis), P(axis)),
+                         out_specs=P(axis))(V_abcd, T_cdij)
 
+
+def ring_ladder(V_abcd, T_cdij, mesh, axis="a"):
+    """Standalone form: device_put the operands, then ring-contract."""
     V_sh = jax.device_put(V_abcd, NamedSharding(mesh, P(axis)))
     T_sh = jax.device_put(T_cdij, NamedSharding(mesh, P(axis)))
-
-    perm = [(i, (i + 1) % n_dev) for i in range(n_dev)]
-
-    @partial(jax.shard_map, mesh=mesh, in_specs=(P(axis), P(axis)),
-             out_specs=P(axis))
-    def kernel(V_loc, T_loc):
-        me = jax.lax.axis_index(axis)
-
-        def step(k, carry):
-            T_held, R = carry
-            # the shard currently held started on device (me - k) mod P
-            src = (me - k) % n_dev
-            V_slice = jax.lax.dynamic_slice_in_dim(V_loc, src * csz, csz,
-                                                   axis=2)
-            R = R + jnp.einsum("abcd,cdij->abij", V_slice, T_held)
-            T_held = jax.lax.ppermute(T_held, axis, perm)
-            return T_held, R
-
-        R0 = jax.lax.pvary(
-            jnp.zeros(V_loc.shape[:1] + T_loc.shape[1:], T_loc.dtype),
-            axis)
-        _, R = jax.lax.fori_loop(0, n_dev, step, (T_loc, R0))
-        return R
-
-    return kernel(V_sh, T_sh)
+    return ring_ladder_inside(V_sh, T_sh, mesh, axis)

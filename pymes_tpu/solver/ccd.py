@@ -71,10 +71,12 @@ def blocks_from_dict(dict_t_V):
                      iabj=dict_t_V["iabj"], abcd=dict_t_V["abcd"])
 
 
-@partial(jax.jit, static_argnames=("is_dcd", "is_bruekner", "contract_mode"))
+@partial(jax.jit, static_argnames=("is_dcd", "is_bruekner", "contract_mode",
+                                   "ring_mesh", "ring_axis"))
 def doubles_residual(t_fock_ab, t_fock_ij, t_T_abij, blocks: CCDBlocks,
                      is_dcd=False, is_bruekner=False, t_T_ai=None,
-                     contract_mode="xla", abcd_presliced=None):
+                     contract_mode="xla", abcd_presliced=None,
+                     ring_mesh=None, ring_axis="a"):
     """CCD/DCD doubles residual R_abij.
 
     Same diagrams as ``pymes/solver/ccd.py:164``: particle-particle ladder,
@@ -117,6 +119,12 @@ def doubles_residual(t_fock_ab, t_fock_ij, t_T_abij, blocks: CCDBlocks,
             if W.shape[0] != t_T_abij.shape[0]:  # all-bra plan: take vv
                 W = W[no_:, no_:]
             R = R + W
+    elif ring_mesh is not None:
+        # explicit-collective path: V row-sharded, T2 shards ride the ring
+        # (ppermute) instead of being all-gathered — CTF's distributed
+        # contraction role, now inside the jitted fixed point
+        from pymes_tpu.parallel.ring_ladder import ring_ladder_inside
+        R = R + ring_ladder_inside(V.abcd, t_T_abij, ring_mesh, ring_axis)
     elif abcd_presliced is not None:
         nv, no_ = t_T_abij.shape[1], t_T_abij.shape[3]
         sa, ea = abcd_presliced
@@ -179,12 +187,13 @@ class CCDCarry(NamedTuple):
 
 @partial(jax.jit, static_argnames=("no", "is_dcd", "is_diis", "is_dr_ccd",
                                    "is_bruekner", "max_iter", "dim_space",
-                                   "log_iterations", "contract_mode"))
+                                   "log_iterations", "contract_mode",
+                                   "ring_mesh", "ring_axis"))
 def ccd_solve_jit(t_fock_pq, blocks: CCDBlocks, no, t_T0_abij,
                   level_shift=0.0, delta_e=1e-8, max_iter=50,
                   is_dcd=False, is_diis=True, is_dr_ccd=False,
                   is_bruekner=False, dim_space=6, log_iterations=False,
-                  contract_mode="xla"):
+                  contract_mode="xla", ring_mesh=None, ring_axis="a"):
     """Fully on-device CCD fixed point: ``lax.while_loop`` over Jacobi + DIIS.
 
     Returns (e_corr, T_abij, eps_i, eps_a, dE, n_iter).
@@ -199,7 +208,8 @@ def ccd_solve_jit(t_fock_pq, blocks: CCDBlocks, no, t_T0_abij,
     # Ozaki mode: slice the loop-invariant nv^4 ladder block once, outside
     # the while_loop, so each iteration only slices the amplitudes
     abcd_presliced = None
-    if (_ct.parse_mode(contract_mode) is not None
+    if (ring_mesh is None
+            and _ct.parse_mode(contract_mode) is not None
             and blocks.abcd is not None
             and blocks.abcd.dtype == jnp.float64):
         n_slices = _ct.parse_mode(contract_mode)[0]
@@ -232,7 +242,8 @@ def ccd_solve_jit(t_fock_pq, blocks: CCDBlocks, no, t_T0_abij,
             R = doubles_residual(f_ab, f_ij, c.T, blocks,
                                  is_dcd=is_dcd, is_bruekner=is_bruekner,
                                  contract_mode=contract_mode,
-                                 abcd_presliced=abcd_presliced)
+                                 abcd_presliced=abcd_presliced,
+                                 ring_mesh=ring_mesh, ring_axis=ring_axis)
 
         eps_i, eps_a = c.eps_i, c.eps_a
         if is_bruekner:
@@ -299,7 +310,8 @@ class CCD:
         self.log_iterations = False
 
     def solve(self, t_fock_pq, t_V_pqrs, level_shift=0.0, sp=0, amps=None,
-              mixed_precision=False, contract_mode=None, **kwargs):
+              mixed_precision=False, contract_mode=None, ring_mesh=None,
+              ring_axis="a", **kwargs):
         """Solve the doubles equations.
 
         ``mixed_precision=True`` runs the bulk of the fixed point in f32
@@ -367,7 +379,8 @@ class CCD:
             is_dcd=self.is_dcd, is_diis=self.is_diis,
             is_dr_ccd=self.is_dr_ccd, is_bruekner=self.is_bruekner,
             dim_space=self.dim_space, log_iterations=self.log_iterations,
-            contract_mode=contract_mode)
+            contract_mode=contract_mode, ring_mesh=ring_mesh,
+            ring_axis=ring_axis)
 
         n_iter = int(n_iter)
         if n_iter > max_iter:

@@ -52,6 +52,13 @@ def _shifted_solve_gcrotmk(matvec, size, ze, b, diag, ls_max_iter=100,
                        dtype=complex)
     x, info = gcrotmk(A, rhs, M=M, maxiter=ls_max_iter, atol=0.0,
                       rtol=ls_conv_tol)
+    if info != 0:  # a silently non-converged node corrupts the projector
+        import warnings
+        rel = np.linalg.norm(mv(x) - rhs) / max(np.linalg.norm(rhs), 1e-300)
+        warnings.warn(
+            f"FEAST gcrotmk node z={ze:.6g} did not converge in "
+            f"{ls_max_iter} iterations (rel. residual {rel:.2e}, "
+            f"rtol {ls_conv_tol}) — raise ls_max_iter", stacklevel=2)
     return x
 
 

@@ -122,6 +122,59 @@ def test_ring_ladder():
 
 
 @needs_8
+def test_ring_ladder_full_solve_oracle():
+    """The entire CCD while_loop with the ladder term running as the
+    ring-accumulated shard_map (ppermute) collective hits the UEG golden
+    energy — CTF's distributed-contraction role inside the fixed point
+    (VERDICT r1 task 2)."""
+    from pymes_tpu.mean_field import hf
+    from pymes_tpu.models import ueg
+    from pymes_tpu.solver import ccd
+
+    u = ueg.UEG(14, 7, 7, 0.5)
+    u.init_single_basis(5)
+    V = u.eval_2b_integrals()
+    no = 7
+    fock = np.asarray(hf.construct_hf_matrix(
+        no, np.diag(u.kinetic_energies()), V))
+    nv = V.shape[0] - no
+    n_dev = pmesh.largest_dividing_mesh(nv, 8)
+    assert n_dev == 5
+    m = pmesh.make_mesh(n_dev, axis_names=("a",))
+    from pymes_tpu.integral.partition import part_2_body_int
+    dict_V = pmesh.shard_blocks(m, part_2_body_int(no, V))
+
+    solver = ccd.CCD(no, is_diis=True)
+    res = solver.solve(jnp.asarray(fock), dict_V, level_shift=-1.0,
+                       max_iter=60, ring_mesh=m, ring_axis="a")
+    assert abs(res["ccd e"] - (-0.5120153512190824)) < 1e-6
+
+
+@needs_8
+def test_shard_over_nodes_fan_out():
+    """Quadrature-node fan-out: a vmapped per-node computation over
+    node-sharded inputs equals the replicated result (the device-mesh
+    version of the reference's joblib contour fan-out,
+    feast_eom_rccsd.py:90-108)."""
+    from pymes_tpu.parallel import sharding as psh
+
+    m = pmesh.make_mesh(8, axis_names=("n",))
+    rng = np.random.default_rng(0)
+    ys = jnp.asarray(rng.standard_normal((8, 64)))
+    zs = jnp.asarray(rng.standard_normal(8))
+
+    def per_node(z, y):
+        return jnp.sum(y * y) * z + jnp.linalg.norm(y)
+
+    want = np.asarray(jax.vmap(per_node)(zs, ys))
+    tree = psh.shard_over_nodes({"z": zs, "y": ys}, m, axis="n")
+    got = np.asarray(jax.jit(jax.vmap(per_node))(tree["z"], tree["y"]))
+    np.testing.assert_allclose(got, want, rtol=1e-13)
+    # leading axis really is distributed
+    assert len(tree["y"].sharding.device_set) == 8
+
+
+@needs_8
 def test_sharded_ueg_ccd_oracle():
     """Full CCD solve with V/T sharded over 8 devices reproduces the UEG
     golden energy (the CTF-replacement end-to-end check)."""
