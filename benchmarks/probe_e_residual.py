@@ -63,7 +63,7 @@ def dep(acc, x):
 
 # full residual, both modes (pre-sliced V shipped as an ARG — a closed-over
 # 1.3 GB constant blows the remote-compile request body, HTTP 413)
-for mode in ("ozaki:7:6", "xla"):
+for mode in ("xla", "ozaki:7:6"):
     if mode != "xla":
         pres = jax.jit(ozaki.slice_rows, static_argnums=1)(
             blocks.abcd.reshape(nv * nv, nv * nv), 7)
@@ -77,6 +77,7 @@ for mode in ("ozaki:7:6", "xla"):
             return acc + jnp.sum(R) * 1e-300
 
         t = chain(body, (fock, blocks, T, pres[0], pres[1]))
+        del pres
     else:
         def body(acc, fock, blocks, T, mode=mode):
             R = ccd.doubles_residual(fock[no:, no:], fock[:no, :no],

@@ -18,10 +18,72 @@ per-line Python loop.
 """
 
 import itertools
+from typing import NamedTuple
 
 import numpy as np
 
 from pymes_tpu.log import print_logging_info
+
+
+class SparseL(NamedTuple):
+    """6-index L tensor as its deduplicated nonzero list.
+
+    ``idx`` is (n, 6) int64 in the dense tensor's axis order
+    ``(o, r, p, s, q, t)`` (chemists' pair-interleaved), 0-based, with all
+    6-fold electron-permutation images expanded; ``vals`` carries the −3×
+    in-memory convention.  This is the scalable form of the 3-body
+    integrals: nb = 50 would need a 125 GB dense tensor
+    (SURVEY §7 'contract on-the-fly from the symmetric nonzero list').
+    """
+
+    idx: np.ndarray
+    vals: np.ndarray
+    nb: int
+
+
+def _expand_6_fold(idx, vals):
+    """All 6 electron-permutation images of physicists' records, dedup'd.
+
+    ``idx`` is (n, 6) 0-based physicists' (o, p, q, r, s, t); rows come
+    back in the dense axis order (o, r, p, s, q, t).  Records whose orbit
+    is smaller than 6 (coincident pairs) produce duplicate images — they
+    are dropped, exactly like the dense scatter's idempotent overwrite.
+    """
+    ket = [idx[:, 0], idx[:, 1], idx[:, 2]]
+    bra = [idx[:, 3], idx[:, 4], idx[:, 5]]
+    rows, val_list = [], []
+    for per in itertools.permutations(range(3)):
+        rows.append(np.stack([ket[per[0]], bra[per[0]],
+                              ket[per[1]], bra[per[1]],
+                              ket[per[2]], bra[per[2]]], axis=1))
+        val_list.append(vals)
+    rows = np.concatenate(rows, axis=0)
+    allv = np.concatenate(val_list)
+    uniq, first = np.unique(rows, axis=0, return_index=True)
+    return uniq, allv[first]
+
+
+def read_sparse(file_name="TCDUMP"):
+    """Read a TCDUMP into a :class:`SparseL` nonzero list (no nb⁶ array).
+
+    The sparse counterpart of :func:`read`; consumed directly by the
+    contraction engine (``pymes_tpu.integral.contraction``).
+    """
+    print_logging_info("Reading in TCDUMP (sparse)", level=1)
+    if "h5" in file_name or "hdf5" in file_name:
+        vals, idx, nb = _read_hdf5(file_name)
+    else:
+        vals, idx, nb = _read_txt(file_name)
+    rows, v = _expand_6_fold(idx, vals)
+    return SparseL(idx=rows, vals=v, nb=nb)
+
+
+def sparse_to_dense(sL):
+    """Debug path: materialize the dense (nb,)*6 tensor from a SparseL."""
+    t_L = np.zeros([sL.nb] * 6)
+    o, r, p, s, q, t = sL.idx.T
+    t_L[o, r, p, s, q, t] = sL.vals
+    return t_L
 
 
 def _scatter_6_fold(t_L, idx, vals):
