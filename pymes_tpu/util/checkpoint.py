@@ -42,10 +42,12 @@ class SolverCheckpoint:
             return None
         import jax.numpy as jnp
 
+        errs = jnp.asarray(self.diis_errs)
         return diis_mod.DIISState(
             amps=jnp.asarray(self.diis_amps),
-            errs=jnp.asarray(self.diis_errs),
-            count=jnp.asarray(self.diis_count, dtype=jnp.int32))
+            errs=errs,
+            count=jnp.asarray(self.diis_count, dtype=jnp.int32),
+            B=diis_mod.gram_from_errs(errs))
 
 
 def _base(path):

@@ -35,6 +35,15 @@ class _MatrixEOM(eom_ccsd.EOM_CCSD):
             out2.append(w[nv * no:].reshape(nv, nv, no, no))
         return np.stack(out1), np.stack(out2)
 
+    # honest fake-backend diagonals for the per-component preconditioner
+    def get_diag_singles(self, f, dict_t_V, T2):
+        nv, no = T2.shape[0], self.no
+        return self.ham.diagonal()[: nv * no].reshape(nv, no)
+
+    def get_diag_doubles(self, f, dict_t_V, T2):
+        nv, no = T2.shape[0], self.no
+        return self.ham.diagonal()[nv * no:].reshape(nv, nv, no, no)
+
 
 def test_davidson_fake_hamiltonian():
     rng = np.random.default_rng(7)
