@@ -69,8 +69,12 @@ def main():
     _, T0 = mp2.solve(eps_i, eps_a, blocks.ijab, blocks.abij, -1.0)
 
     def solve():
+        # production path: residual contractions on the integer-MXU Ozaki
+        # backend (round 2) — same 1e-8 oracle, ~1e-12 energy agreement
+        # with the xla-f64 path, measured in benchmarks/RESULTS.md
         out = ccd.ccd_solve_jit(fock, blocks, no, T0, level_shift=-1.0,
-                                delta_e=1e-8, max_iter=60)
+                                delta_e=1e-8, max_iter=60,
+                                contract_mode="ozaki:7:6")
         return float(out[0]), int(out[5])
 
     t0 = time.time()

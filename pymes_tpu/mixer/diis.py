@@ -118,7 +118,9 @@ def mix(state: DIISState, err_flat: jnp.ndarray, amp_flat: jnp.ndarray):
     # absolute eigenvalue-pruning threshold below misclassifies directions
     # once ‖err‖² ≲ 1e-6 (observed as a DIIS noise floor on TPU, where the
     # emulated-f64 eigh has larger relative error on tiny eigenvalues).
-    row = jnp.real(errs.conj() @ err_flat)
+    # mul+sum, NOT a dot: XLA's emulated-f64 skinny dot lowering is ~60x
+    # off roofline on TPU (5 ms vs ~0 for the elementwise form at nP=123)
+    row = jnp.real(jnp.sum(errs.conj() * err_flat[None, :], axis=1))
     B_raw = state.B.at[slot, :].set(row).at[:, slot].set(row)
     mask2 = valid[:, None] * valid[None, :]
     B = B_raw * mask2
@@ -141,7 +143,7 @@ def mix(state: DIISState, err_flat: jnp.ndarray, amp_flat: jnp.ndarray):
     c = _gauss_solve(L, rhs)
 
     coeff = (c[:m] * valid).astype(amps.dtype)
-    mixed = coeff @ amps
+    mixed = jnp.sum(coeff[:, None] * amps, axis=0)  # mul+sum, not a dot
     return DIISState(amps=amps, errs=errs, count=count, B=B_raw), mixed
 
 

@@ -124,21 +124,26 @@ def matmul_presliced(sa, ea, sb, eb, t_cutoff):
         pairs = [(i, d - i)
                  for i in range(max(0, d - n_slices + 1),
                                 min(d, n_slices - 1) + 1)]
-        cat_a = jnp.concatenate([sa[i] for i, _ in pairs], axis=1)
-        cat_b = jnp.concatenate([sb[j] for _, j in pairs], axis=0)
+        # one int8 dot per pair, partials summed exactly in int32 (bounded
+        # by the k_chunk guard above) — concatenating slices along K would
+        # copy the whole slice set once per diagonal (~5 GB per nP=123
+        # ladder application)
         if n_chunks == 1:
-            dmat = _int_dot(cat_a, cat_b)
+            dmat = None
+            for i, j in pairs:
+                p = _int_dot(sa[i], sb[j])
+                dmat = p if dmat is None else dmat + p
         else:
             # exact-accumulation guard for very large K: sum f64 partials
             dmat = None
             for c in range(n_chunks):
                 lo = c * k_chunk
                 hi = min(k_dim, lo + k_chunk)
-                cols = jnp.concatenate(
-                    [sa[i, :, lo:hi] for i, _ in pairs], axis=1)
-                rows = jnp.concatenate(
-                    [sb[j, lo:hi, :] for _, j in pairs], axis=0)
-                part = _int_dot(cols, rows).astype(jnp.float64)
+                part = None
+                for i, j in pairs:
+                    p = _int_dot(sa[i, :, lo:hi], sb[j, lo:hi, :])
+                    part = p if part is None else part + p
+                part = part.astype(jnp.float64)
                 dmat = part if dmat is None else dmat + part
         term = dmat.astype(jnp.float64) * (2.0 ** (-SLICE_BITS * (d + 2)))
         acc = term if acc is None else acc + term

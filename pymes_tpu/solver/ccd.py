@@ -168,9 +168,17 @@ def doubles_residual(t_fock_ab, t_fock_ij, t_T_abij, blocks: CCDBlocks,
 
 @jax.jit
 def ccd_energy(t_T_abij, t_V_ijab):
-    """(direct, exchange) CCD correlation energy pieces."""
-    e_dir = 2.0 * jnp.einsum("abij,ijab->", t_T_abij, t_V_ijab)
-    e_exc = -1.0 * jnp.einsum("abij,ijba->", t_T_abij, t_V_ijab)
+    """(direct, exchange) CCD correlation energy pieces.
+
+    Written as transpose + elementwise multiply + sum instead of einsum:
+    XLA's emulated-f64 full-reduction dot is ~60x off roofline on TPU,
+    and the transposed V is loop-invariant (hoisted out of the solver
+    while_loop by XLA).
+    """
+    V_d = jnp.transpose(t_V_ijab, (2, 3, 0, 1))   # [a,b,i,j] = V[i,j,a,b]
+    V_x = jnp.transpose(t_V_ijab, (3, 2, 0, 1))   # [a,b,i,j] = V[i,j,b,a]
+    e_dir = 2.0 * jnp.sum(t_T_abij * V_d)
+    e_exc = -1.0 * jnp.sum(t_T_abij * V_x)
     return e_dir, e_exc
 
 

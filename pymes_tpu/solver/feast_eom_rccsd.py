@@ -29,11 +29,18 @@ def _require_pyscf():
 
 
 class FEAST_EOMEESinglet:
-    """FEAST over PySCF's singlet EOM-CCSD matvec (reference API)."""
+    """FEAST over PySCF's singlet EOM-CCSD matvec (reference API).
 
-    def __init__(self, cc):
-        _require_pyscf()
-        self._eom = _pyscf_eom.EOMEESinglet(cc)
+    ``eom`` injects any object with the PySCF EOM interface shape
+    (``vector_size/get_diag/make_imds/matvec``) — used to exercise this
+    adapter without pyscf (absent from this environment).
+    """
+
+    def __init__(self, cc=None, eom=None):
+        if eom is None:
+            _require_pyscf()
+            eom = _pyscf_eom.EOMEESinglet(cc)
+        self._eom = eom
         self.ls_max_iter = 100
         self.ls_conv_tol = 1e-4
         self.max_cycle = 50
@@ -66,9 +73,11 @@ class CIFRT_EOMEESinglet:
     """CIF real-time propagation over PySCF's singlet matvec
     (reference API: ``rt_eom_rccsd.py:101``)."""
 
-    def __init__(self, cc):
-        _require_pyscf()
-        self._eom = _pyscf_eom.EOMEESinglet(cc)
+    def __init__(self, cc=None, eom=None):
+        if eom is None:
+            _require_pyscf()
+            eom = _pyscf_eom.EOMEESinglet(cc)
+        self._eom = eom
         self.ls_max_iter = 100
         self.ls_conv_tol = 1e-4
 

@@ -212,3 +212,52 @@ class Optimizer:
         if write_history:
             self.structure.write2File()
         return False
+
+    def project2PrimitiveCell(self, forces, map2pc=None,
+                              map_file="ionIndices.dat"):
+        """Select the supercell force rows belonging to the primitive-cell
+        atoms (reference API: ``structure.py:309-319``).
+
+        ``map2pc`` is the (n_pc, 2) ion-index table (1-based in the file,
+        column 1 holding the supercell row of each primitive atom) or a
+        plain 1-D 0-based row list.
+        """
+        if map2pc is None:
+            map2pc = np.loadtxt(map_file).astype(int) - 1
+        map2pc = np.asarray(map2pc, dtype=int)
+        rows = map2pc[:, 1] if map2pc.ndim == 2 else map2pc
+        return np.asarray(forces)[rows, :]
+
+
+def relax_primitive_from_supercell(pc, sc, forces, map2pc,
+                                   threshhold=5e-2, symprec=0.01,
+                                   timestep=0.01):
+    """Production relaxation workflow: supercell forces drive the
+    primitive-cell geometry (the reference's ``main()``,
+    ``pymes/util/structure.py:395-440``).
+
+    Forces are symmetrized under the *supercell* symmetries, projected
+    onto the primitive-cell atoms (``map2pc``), re-symmetrized under the
+    *primitive-cell* symmetries, and — unless converged — one
+    gradient-descent step updates ``pc`` in place.
+
+    Returns ``(pc, transform, updated)`` with ``transform`` the integer
+    supercell matrix ``cell_sc = transform · cell_pc``.
+    """
+    opt_sc = Optimizer(sc, threshhold, symprec, timestep)
+    opt_pc = Optimizer(pc, threshhold, symprec, timestep)
+
+    f = opt_sc.symmetrizeForces(np.asarray(forces, dtype=float))
+    f = opt_sc.project2PrimitiveCell(f, map2pc)
+    opt_pc.totalForces = opt_pc.symmetrizeForces(f)
+
+    cart_sc = sc.cellVecs.T * sc.latticeConstant
+    cart_pc = pc.cellVecs.T * pc.latticeConstant
+    transform = cart_sc.dot(np.linalg.inv(cart_pc))
+    transform[np.abs(transform) < eps] = 0.0
+    transform = np.rint(transform)
+
+    updated = not opt_pc.isConverged()
+    if updated:
+        opt_pc.updatePositions()
+    return pc, transform, updated
