@@ -281,12 +281,22 @@ class UEG:
         uniq, inverse = np.unique(flat_int, axis=0, return_inverse=True)
         uniq_kvec = uniq * 2 * np.pi / self.L
         out = np.zeros(len(uniq))
-        for n, kv in enumerate(uniq_kvec):
-            k2 = kv[None, :] - k1
-            k2sq = np.einsum("mx,mx->m", k2, k2)
-            k1dk2 = np.einsum("mx,x->m", k1, kv) - k1sq
+        # vectorized over blocks of transfers (the per-transfer Python loop
+        # re-walked the 226k-point k' grid once per transfer); block size
+        # bounds the (B, M) temporaries to ~150 MB
+        n_grid = k1.shape[0]
+        block = max(1, int(8e6) // n_grid)
+        for lo in range(0, len(uniq), block):
+            kv = uniq_kvec[lo:lo + block]                       # (B, 3)
+            k1dk2 = kv @ k1.T - k1sq[None, :]                   # (B, M)
+            # k2² via the exact difference (the expanded |kv|²−2kv·k1+k1²
+            # form leaves ~1e-17 negatives where k1 = kv, flipping the
+            # correlators' k² = 0 guards)
+            k2 = kv[:, None, :] - k1[None, :, :]                # (B, M, 3)
+            k2sq = np.einsum("bmx,bmx->bm", k2, k2)
             u2 = _call_correlator(self.correlator, k2sq)
-            out[n] = np.sum(k1dk2 * u1 * u2) / self.Omega
+            out[lo:lo + block] = np.einsum(
+                "bm,m,bm->b", k1dk2, u1, u2) / self.Omega
         return out[inverse].reshape(d_int.shape[:-1])
 
     def sumNablaUSquare(self, k, cutoff=30):

@@ -70,3 +70,47 @@ def test_ueg_eom_davidson_consistency():
     assert abs(e3[0] - e2[0]) < 1e-5
     # and the enlarged run resolves the degenerate pair
     assert abs(e3[1] - e3[0]) < 1e-5
+
+
+def test_matrix_free_sigma_t1_dressed():
+    """Matrix-free EOM sigma with NONZERO T1: the 'abcd_t1' path must
+    reproduce the dense dressed-V̄_abcd sigma exactly (VERDICT r1 task 4;
+    the bare-ladder fallback is only valid at T1 = 0)."""
+    u = ueg.UEG(14, 7, 7, 1.0)
+    u.init_single_basis(2)
+    V = np.asarray(u.eval_2b_integrals())
+    no = 7
+    fock = np.asarray(hf.construct_hf_matrix(
+        no, np.diag(u.kinetic_energies()), V))
+    rng = np.random.default_rng(5)
+    noise = rng.standard_normal(fock.shape) * 0.02
+    fock = fock + noise + noise.T
+
+    cc = ccsd.CCSD(no)
+    res = cc.solve(fock, V, delta_e=1e-10, max_iter=200)
+    assert float(np.abs(np.asarray(res["t1"])).max()) > 1e-3  # genuine T1
+
+    dict_V = part_2_body_int(no, V)
+    fd = cc.get_T1_dressed_fock(fock, res["t1"], dict_V)
+    Vd = cc.get_T1_dressed_V(res["t1"], dict_V)
+
+    from pymes_tpu.ops.ueg_ladder import build_ueg_ladder
+    Vd_mf = {k: v for k, v in Vd.items() if k != "abcd"}
+    Vd_mf["abcd"] = None
+    Vd_mf["abcd_ladder"] = build_ueg_ladder(u, bra="all")
+    Vd_mf["abcd_t1"] = res["t1"]
+
+    nv = res["t2"].shape[0]
+    U1 = rng.standard_normal((2, nv, no))
+    U2 = rng.standard_normal((2, nv, nv, no, no))
+    dav = eom_ccsd.EOM_CCSD(no, n_excit=2)
+    W1a, W2a = dav._batched_sigma(fd, Vd, U1, U2, res["t2"])
+    W1b, W2b = dav._batched_sigma(fd, Vd_mf, U1, U2, res["t2"])
+    assert np.abs(np.asarray(W1a) - np.asarray(W1b)).max() < 1e-11
+    assert np.abs(np.asarray(W2a) - np.asarray(W2b)).max() < 1e-11
+
+    # the bare fallback (no abcd_t1) must now DIFFER — T1 is nonzero
+    Vd_bare = dict(Vd_mf)
+    del Vd_bare["abcd_t1"]
+    _, W2c = dav._batched_sigma(fd, Vd_bare, U1, U2, res["t2"])
+    assert np.abs(np.asarray(W2a) - np.asarray(W2c)).max() > 1e-6
