@@ -25,9 +25,10 @@ import numpy as np
 from scipy.linalg import eig
 
 from pymes_tpu.log import print_logging_info, print_title
-from pymes_tpu.solver.eom_ccsd import (EOM_CCSD, get_diag_doubles,
-                                       get_diag_singles, sigma_doubles,
-                                       sigma_singles)
+from pymes_tpu.solver.eom_ccsd import (EOM_CCSD, build_hbar,
+                                       get_diag_doubles, get_diag_singles,
+                                       sigma_doubles, sigma_doubles_hbar,
+                                       sigma_singles, sigma_singles_hbar)
 
 
 def get_gauss_legendre_quadrature(n):
@@ -43,7 +44,7 @@ def normalize_amps(u_singles, u_doubles):
 
 def _shifted_solve_impl(f, dict_t_V, T2, b_pair, z_pair, diag_vec, no, nv,
                         is_rt=False, dt=0.0, ls_max_iter=20, restart=20,
-                        ls_conv_tol=1e-4):
+                        ls_conv_tol=1e-4, hbar=None):
     """Solve (z − H̄)x = b (or (z − i·dt·H̄)x = b for RT) with diagonal-
     preconditioned GMRES, everything on device.
 
@@ -63,8 +64,12 @@ def _shifted_solve_impl(f, dict_t_V, T2, b_pair, z_pair, diag_vec, no, nv,
     def H(x):
         u1 = x[:n1].reshape(nv, no)
         u2 = x[n1:].reshape(nv, nv, no, no)
-        w1 = sigma_singles(f, dict_t_V, u1, u2, T2)
-        w2 = sigma_doubles(f, dict_t_V, u1, u2, T2)
+        if hbar is not None:  # factorized sigma: T2 pieces precontracted
+            w1 = sigma_singles_hbar(f, dict_t_V, hbar, u1, u2, T2)
+            w2 = sigma_doubles_hbar(f, dict_t_V, hbar, u1, u2, T2)
+        else:
+            w1 = sigma_singles(f, dict_t_V, u1, u2, T2)
+            w2 = sigma_doubles(f, dict_t_V, u1, u2, T2)
         return jnp.concatenate([w1.ravel(), w2.ravel()])
 
     def matvec(pair):
@@ -101,12 +106,13 @@ _shifted_solve = partial(jax.jit, static_argnames=(
     "no", "nv", "is_rt", "ls_max_iter", "restart"))(_shifted_solve_impl)
 
 def _nodes_impl(f, dict_t_V, T2, b_pair, z_pairs, diag_vec, no, nv,
-                is_rt=False, dt=0.0, ls_max_iter=20, ls_conv_tol=1e-4):
+                is_rt=False, dt=0.0, ls_max_iter=20, ls_conv_tol=1e-4,
+                hbar=None):
     def one(z_pair):
         return _shifted_solve_impl(f, dict_t_V, T2, b_pair, z_pair,
                                    diag_vec, no, nv, is_rt=is_rt, dt=dt,
                                    ls_max_iter=ls_max_iter,
-                                   ls_conv_tol=ls_conv_tol)
+                                   ls_conv_tol=ls_conv_tol, hbar=hbar)
 
     return jax.vmap(one)(z_pairs)
 
@@ -158,6 +164,12 @@ class FEAST_EOM_CCSD(EOM_CCSD):
                                       jnp.asarray(u2), T2))
         return w1, w2
 
+    def _get_hbar(self, f, dict_t_V, T2):
+        """Factorized-sigma intermediates, built once per (f, V, T2)."""
+        if getattr(self, "_hbar", None) is None:
+            self._hbar = build_hbar(f, dict_t_V, T2)
+        return self._hbar
+
     def _warn_unconverged(self, rel_res):
         """Surface non-converged shifted solves instead of silently
         polluting the spectral projector."""
@@ -183,7 +195,8 @@ class FEAST_EOM_CCSD(EOM_CCSD):
         (xr, xi), rel_res = _shifted_solve(
             f, dict_t_V, T2, b_pair, z_pair, jnp.asarray(diag_vec),
             self.no, nv, is_rt=is_rt, dt=dt,
-            ls_max_iter=self.ls_max_iter, ls_conv_tol=self.ls_conv_tol)
+            ls_max_iter=self.ls_max_iter, ls_conv_tol=self.ls_conv_tol,
+            hbar=self._get_hbar(f, dict_t_V, T2))
         self._warn_unconverged(rel_res)
         return np.asarray(xr) + 1j * np.asarray(xi)
 
@@ -212,7 +225,8 @@ class FEAST_EOM_CCSD(EOM_CCSD):
                 (f, dict_t_V, T2, b_pair, diag), self.node_mesh)
         (xr, xi), rel_res = _shifted_solve_nodes(
             f, dict_t_V, T2, b_pair, z_pairs, diag, self.no, nv,
-            ls_max_iter=self.ls_max_iter, ls_conv_tol=self.ls_conv_tol)
+            ls_max_iter=self.ls_max_iter, ls_conv_tol=self.ls_conv_tol,
+            hbar=self._get_hbar(f, dict_t_V, T2))
         self._warn_unconverged(rel_res)
         return np.asarray(xr) + 1j * np.asarray(xi)
 
@@ -221,6 +235,7 @@ class FEAST_EOM_CCSD(EOM_CCSD):
         print_title("FEAST-EOM-CCSD Solver")
         time_init = time.time()
         no = self.no
+        self._hbar = None   # intermediates belong to THIS (f, V, T2)
         f = jnp.asarray(t_fock_dressed_pq)
         T2 = jnp.asarray(t_T_abij)
         diag_ai = np.asarray(get_diag_singles(f, dict_t_V_dressed, T2))

@@ -44,6 +44,7 @@ class RT_EOM_CCSD(FEAST_EOM_CCSD):
         no = self.no
         if u_singles is None or u_doubles is None:
             raise RuntimeError("No initial state specified!")
+        self._hbar = None   # factorized-sigma pieces belong to THIS (f, T2)
         f = jnp.asarray(t_fock_dressed_pq)
         T2 = jnp.asarray(t_T_abij)
         diag_ai = np.asarray(get_diag_singles(f, dict_t_V_dressed, T2))
