@@ -25,8 +25,8 @@ set_verbosity(-1)
 print("devices:", jax.devices(), flush=True)
 
 NEED = ('klij', 'ijab', 'abij', 'iajb', 'iabj', 'aibj', 'aijb',
-        'ijka', 'ijak', 'iabc', 'aibc', 'abic', 'iajk')
-cutoff = 14
+        'ijka', 'ijak', 'iajk')
+cutoff = int(os.environ.get('MF_CUTOFF', 14))
 t0 = time.time()
 u = ueg.UEG(14, 7, 7, 0.5)
 u.init_single_basis(cutoff)
@@ -34,6 +34,8 @@ idx, vals = u.eval_2b_integrals(sp=2)
 n_p, no = u.n_spatial, 7
 nv = n_p - no
 lad_all = build_ueg_ladder(u, bra="all")
+from pymes_tpu.ops.ueg_ladder import build_ovvv_plans
+plans = build_ovvv_plans(u)
 print(f"cutoff={cutoff}: nP={n_p} gen={time.time()-t0:.1f}s", flush=True)
 t0 = time.time()
 d = ueg.sparse_to_blocks(idx, vals, n_p, no, names=NEED, dtype=jnp.float64)
@@ -41,17 +43,20 @@ kin = jnp.asarray(u.kinetic_energies())
 eps_i = hf.calcOccupiedOrbE(kin, d['klij'], no)
 eps_a = hf.calcVirtualOrbE(kin, d['aibj'], d['aijb'], no, nv)
 fock = jnp.diag(jnp.concatenate([eps_i, eps_a]))
-dict_V = dict(d)
-jax.block_until_ready(dict_V['iabc'])
-print(f"  blocks on device: {time.time()-t0:.1f}s "
-      f"(iabc = {dict_V['iabc'].nbytes/1e9:.2f} GB)", flush=True)
+dict_V = {k: v for k, v in d.items() if k not in
+          ('iabc', 'aibc', 'abic')}
+dict_V['_ovvv_plans'] = plans
+jax.block_until_ready(dict_V['abij'])
+print(f"  blocks on device: {time.time()-t0:.1f}s (no ovvv blocks)",
+      flush=True)
 
 t0 = time.time()
 try:
     out = ccsd_mod.ccsd_solve_jit(
         fock, dict_V, no, jnp.zeros((nv, no)),
         jnp.zeros((nv, nv, no, no)), level_shift=-1.0, delta_e=1e-8,
-        max_iter=3, ladder_all=lad_all)
+        max_iter=int(os.environ.get("MF_ITERS", 40)), ladder_all=lad_all,
+        contract_mode=os.environ.get('MF_MODE', 'ozaki:7:6'))
     e, n = float(out[0]), int(out[4])
     print(f"  mf-ccsd warm: e={e:.10f} iters={n} "
           f"wall={time.time()-t0:.1f}s", flush=True)
@@ -59,10 +64,12 @@ try:
     out = ccsd_mod.ccsd_solve_jit(
         fock, dict_V, no, jnp.zeros((nv, no)),
         jnp.zeros((nv, nv, no, no)), level_shift=-1.0, delta_e=1e-8,
-        max_iter=3, ladder_all=lad_all)
+        max_iter=int(os.environ.get("MF_ITERS", 40)), ladder_all=lad_all,
+        contract_mode=os.environ.get('MF_MODE', 'ozaki:7:6'))
     n = int(out[4])
     print(f"  mf-ccsd timed: {(time.time()-t0)/n*1e3:.0f} ms/iter",
           flush=True)
 except Exception as exc:  # noqa: BLE001
-    print(f"  FAILED: {type(exc).__name__}: {str(exc)[:1500]}", flush=True)
+    print(f"  FAILED: {type(exc).__name__}", flush=True)
+    print(str(exc)[:14000], flush=True)
 print("PROBE I DONE", flush=True)

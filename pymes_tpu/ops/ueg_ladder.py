@@ -35,6 +35,84 @@ class UEGLadder(NamedTuple):
     w: jnp.ndarray   # (nq,) float
 
 
+def _transfer_weights(ueg_model, q_vecs, correlator=None, **integral_flags):
+    """w(q) for the transfer-only integral classes (Coulomb, RPA-approx,
+    hermitian-TC) on integer transfer vectors ``q_vecs`` (n, 3)."""
+    from pymes_tpu.models.ueg import _call_correlator
+
+    qp = q_vecs * 2.0 * np.pi / ueg_model.L
+    q2 = np.einsum("nx,nx->n", qp, qp)
+    with np.errstate(divide="ignore"):
+        coul = np.where(q2 > 0, 4.0 * np.pi / np.where(q2 > 0, q2, 1.0),
+                        0.0)
+    if correlator is None and not integral_flags:
+        return coul / ueg_model.Omega
+    if integral_flags.get("is_rpa_approx"):
+        u = _call_correlator(correlator, q2, scalar_path=True)
+        return np.where(
+            q2 > 0, -ueg_model.n_ele * q2 * u ** 2 / ueg_model.Omega ** 2,
+            0.0)
+    if integral_flags.get("is_only_hermi_2b"):
+        # Coulomb + Σ∇u·∇u convolution + q²u(q²): all transfer-only
+        u = _call_correlator(correlator, q2, scalar_path=True)
+        ueg_model.correlator = correlator
+        u_mat = ueg_model._sum_nabla_u_squared(
+            q_vecs.reshape(-1, 1, 3), None).reshape(-1)
+        return np.where(q2 > 0, (coul + u_mat + q2 * u) / ueg_model.Omega,
+                        u_mat / ueg_model.Omega)
+    raise NotImplementedError(
+        "matrix-free plans support the Coulomb, RPA-approx and "
+        "hermitian-TC integral classes (transfer-only weights); the "
+        "non-hermitian class depends on (r, s) and needs the dense block")
+
+
+class OVVVPlan(NamedTuple):
+    """Gather plan for ``out[p,q,r,j] = Σ_s V[p,q,r,s] T1[s,j]`` on a
+    momentum-structured block whose LAST axis is virtual.
+
+    ``V[p,q,r,s] = w(k_r − k_p) δ(k_p+k_q = k_r+k_s)`` fixes s given
+    (p,q,r): ``S[p,q,r]`` is its virtual index (−1 = outside the basis)
+    and ``W[p,r] = w(k_r − k_p)``.  This removes every nv³no-sized ovvv
+    block from the matrix-free CCSD path — their only uses contract a T1
+    factor first (VERDICT r1 task 6: three resident ovvv blocks plus
+    XLA's emulated-f64 split temporaries OOM'd nP=219)."""
+
+    S: jnp.ndarray   # (n0, n1, n2) int32 — virtual index of k_p+k_q−k_r
+    W: jnp.ndarray   # (n0, n2) float — w(k_r − k_p)
+
+
+def build_ovvv_t1_plan(ueg_model, ranges, correlator=None,
+                       dtype=np.float64, **integral_flags):
+    """Build an :class:`OVVVPlan` for leading-axis orbital ``ranges``
+    (3-char string of 'o'/'v'/'a'); the contracted 4th axis is virtual."""
+    no = ueg_model.n_ele // 2
+    n_p = ueg_model.n_spatial
+    k_int = ueg_model.basis.k_int
+    sel = {"o": k_int[:no], "v": k_int[no:], "a": k_int}
+    k0, k1, k2 = (sel[c] for c in ranges)
+
+    ksum = (k0[:, None, None, :] + k1[None, :, None, :]
+            - k2[None, None, :, :])
+    S = ueg_model._lookup_flat(ksum)
+    S = np.where(S >= no, S - no, -1)
+
+    d = (k2[None, :, :] - k0[:, None, :]).reshape(-1, 3)
+    q_vecs, inv = np.unique(d, axis=0, return_inverse=True)
+    w = _transfer_weights(ueg_model, q_vecs, correlator, **integral_flags)
+    W = w[inv].reshape(len(k0), len(k2))
+    return OVVVPlan(S=jnp.asarray(S, dtype=jnp.int32),
+                    W=jnp.asarray(W, dtype=dtype))
+
+
+def ovvv_t1_apply(plan: OVVVPlan, T1):
+    """``out[p,q,r,j] = Σ_s V[p,q,r,s] T1[s,j]`` via the gather plan."""
+    T1 = jnp.asarray(T1)
+    nv = T1.shape[0]
+    Tg = T1[jnp.clip(plan.S, 0, nv - 1)]          # (n0, n1, n2, no)
+    Tg = jnp.where((plan.S >= 0)[..., None], Tg, 0.0)
+    return Tg * plan.W[:, None, :, None]
+
+
 def build_ueg_ladder(ueg_model, correlator=None, dtype=np.float64,
                      bra="virtual", **integral_flags):
     """Build the ladder plan from a UEG model.
@@ -59,38 +137,9 @@ def build_ueg_ladder(ueg_model, correlator=None, dtype=np.float64,
     d_int = (k_int[None, no:, :] - k_bra[:, None, :]).reshape(-1, 3)
     q_vecs, _ = np.unique(d_int, axis=0, return_inverse=True)
 
-    # weights from the integral engine: w(p, r) with r = image of p under q.
-    # evaluate on representative pairs: for each q pick any (a, c=a+q) pair;
-    # w depends only on the transfer for the supported classes, so evaluate
-    # the scalar weight directly through a 2-point basis probe.
-    from pymes_tpu.models.ueg import _call_correlator
-
-    qp = q_vecs * 2.0 * np.pi / ueg_model.L
-    q2 = np.einsum("nx,nx->n", qp, qp)
-    with np.errstate(divide="ignore"):
-        coul = np.where(q2 > 0, 4.0 * np.pi / np.where(q2 > 0, q2, 1.0),
-                        0.0)
-    if correlator is None and not integral_flags:
-        w = coul / ueg_model.Omega
-    elif integral_flags.get("is_rpa_approx"):
-        u = _call_correlator(correlator, q2, scalar_path=True)
-        w = np.where(q2 > 0,
-                     -ueg_model.n_ele * q2 * u ** 2 / ueg_model.Omega ** 2,
-                     0.0)
-    elif integral_flags.get("is_only_hermi_2b"):
-        # Coulomb + Σ∇u·∇u convolution + q²u(q²): all transfer-only
-        u = _call_correlator(correlator, q2, scalar_path=True)
-        ueg_model.correlator = correlator
-        u_mat = ueg_model._sum_nabla_u_squared(
-            q_vecs.reshape(-1, 1, 3), None).reshape(-1)
-        w = np.where(q2 > 0, (coul + u_mat + q2 * u) / ueg_model.Omega,
-                     u_mat / ueg_model.Omega)
-    else:
-        raise NotImplementedError(
-            "matrix-free ladder supports the Coulomb, RPA-approx and "
-            "hermitian-TC integral classes (transfer-only weights); the "
-            "non-hermitian class depends on (r, s) and needs the dense "
-            "block")
+    # weights from the integral engine: transfer-only for the supported
+    # classes (shared with the ovvv-gather plans)
+    w = _transfer_weights(ueg_model, q_vecs, correlator, **integral_flags)
 
     # gather images: c(p, q) = lookup(k_p + q) − no (virtual index), and
     # d(p', q) = lookup(k_p' − q) − no
@@ -142,7 +191,17 @@ def ueg_ladder_apply(ladder: UEGLadder, T_abij, chunk=1):
     return out
 
 
-def dressed_ladder_apply(ladder_all: UEGLadder, T_ai, T_abij, no):
+def build_ovvv_plans(ueg_model, correlator=None, dtype=np.float64,
+                     **integral_flags):
+    """The three ovvv gather plans the matrix-free CCSD dressing needs
+    (leading-range patterns vvo/ovv/vov), keyed for
+    ``dict_t_V["_ovvv_plans"]``."""
+    return {pat: build_ovvv_t1_plan(ueg_model, pat, correlator,
+                                    dtype=dtype, **integral_flags)
+            for pat in ("vvo", "ovv", "vov")}
+
+
+def dressed_ladder_apply(ladder_all: UEGLadder, T_ai, T_abij, no, W=None):
     """T1-dressed ladder  R_abij = Σ_cd V̄_abcd T_cdij  without building
     V̄_abcd: the bra dressing is rank-1 (Λ = I − T̂, ccsd formalism), so
 
@@ -150,8 +209,11 @@ def dressed_ladder_apply(ladder_all: UEGLadder, T_ai, T_abij, no):
 
     with ``W_pqij = Σ_cd V_pqcd T_cdij`` from the all-bra gather plan
     (the ket dressing is the identity on the all-virtual ket of abcd).
+    ``W`` may be precomputed by the caller (the CCSD iteration reuses it
+    for the singles residual).
     """
-    W = ueg_ladder_apply(ladder_all, T_abij)
+    if W is None:
+        W = ueg_ladder_apply(ladder_all, T_abij)
     W_vv = W[no:, no:]
     W_ov = W[:no, no:]
     W_vo = W[no:, :no]

@@ -51,6 +51,7 @@ class CCDBlocks(NamedTuple):
     abcd: jnp.ndarray
     iabc: jnp.ndarray = None  # unused by CCD; placeholder for dressing reuse
     ladder: object = None     # optional UEGLadder plan
+    ladder_W: object = None   # optional precomputed all-bra W_pqij
 
 
 def blocks_from_full(no, t_V_pqrs):
@@ -113,7 +114,8 @@ def doubles_residual(t_fock_ab, t_fock_ij, t_T_abij, blocks: CCDBlocks,
                                               ueg_ladder_apply)
         no_ = t_fock_ij.shape[0]
         if t_T_ai is not None:
-            R = R + dressed_ladder_apply(V.ladder, t_T_ai, t_T_abij, no_)
+            R = R + dressed_ladder_apply(V.ladder, t_T_ai, t_T_abij, no_,
+                                         W=V.ladder_W)
         else:
             W = ueg_ladder_apply(V.ladder, t_T_abij)
             if W.shape[0] != t_T_abij.shape[0]:  # all-bra plan: take vv

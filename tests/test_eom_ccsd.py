@@ -115,3 +115,28 @@ def test_eom_ccsd_lih():
     e = solver.solve(f_dressed, V_dressed, res["t2"])
     assert np.allclose(e, [0.1180867117168979, 0.154376205595602],
                        atol=1e-7)
+
+
+def test_hbar_factorized_sigma_equals_term_list():
+    """The factorized sigma (precomputed Hbar intermediates) must equal
+    the term-list sigma EXACTLY on fully asymmetric random blocks — any
+    wrong term or operand-order misread shows up here (VERDICT r1 task 4)."""
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(0)
+    no, nv = 3, 6
+    nb = no + nv
+    f = jnp.asarray(rng.standard_normal((nb, nb)))          # non-symmetric
+    V = rng.standard_normal((nb,) * 4)                      # no symmetry
+    dV = part_2_body_int(no, jnp.asarray(V))
+    T = jnp.asarray(rng.standard_normal((nv, nv, no, no)))
+    u1 = jnp.asarray(rng.standard_normal((nv, no)))
+    u2 = jnp.asarray(rng.standard_normal((nv, nv, no, no)))
+
+    hb = eom_ccsd.build_hbar(f, dV, T)
+    w1a = np.asarray(eom_ccsd.sigma_singles(f, dV, u1, u2, T))
+    w1b = np.asarray(eom_ccsd.sigma_singles_hbar(f, dV, hb, u1, u2, T))
+    w2a = np.asarray(eom_ccsd.sigma_doubles(f, dV, u1, u2, T))
+    w2b = np.asarray(eom_ccsd.sigma_doubles_hbar(f, dV, hb, u1, u2, T))
+    assert np.abs(w1a - w1b).max() < 1e-12 * np.abs(w1a).max()
+    assert np.abs(w2a - w2b).max() < 1e-12 * np.abs(w2a).max()
