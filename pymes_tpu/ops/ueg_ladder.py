@@ -191,6 +191,40 @@ def ueg_ladder_apply(ladder: UEGLadder, T_abij, chunk=1):
     return out
 
 
+def ueg_ladder_apply_ij(ladder: UEGLadder, T_ijab, chunk=1):
+    """Occupied-leading variant: ``R_ijab = Σ_q w(q) T[i,j,c(a,q),d(b,q)]``.
+
+    Same math as :func:`ueg_ladder_apply` with T2 carried as
+    ``T[i,j,a,b]`` — the TPU-friendly tiling (trailing axes virtual, so
+    the per-step accumulator pads ~1.1× instead of ~19× under the (8,128)
+    lane tiling; see ``benchmarks/probe_h_layout.py``)."""
+    T = jnp.asarray(T_ijab)
+    nv = T.shape[-1]
+    nq = ladder.w.shape[0]
+    pad = (-nq) % chunk
+    w = jnp.pad(ladder.w, (0, pad)).reshape(-1, chunk)
+    n_bra = ladder.C.shape[1]
+    C = jnp.pad(ladder.C, ((0, pad), (0, 0)),
+                constant_values=-1).reshape(-1, chunk, n_bra)
+    D = jnp.pad(ladder.D, ((0, pad), (0, 0)),
+                constant_values=-1).reshape(-1, chunk, n_bra)
+
+    def one_q(w_q, c_q, d_q):
+        valid = (c_q >= 0)[:, None] & (d_q >= 0)[None, :]
+        Tg = T[:, :, jnp.clip(c_q, 0, nv - 1), :]
+        Tg = Tg[:, :, :, jnp.clip(d_q, 0, nv - 1)]
+        return w_q * jnp.where(valid[None, None], Tg, 0.0)
+
+    def step(acc, qcd):
+        w_c, c_c, d_c = qcd
+        return acc + jax.vmap(one_q)(w_c, c_c, d_c).sum(axis=0), None
+
+    out_shape = T.shape[:2] + (n_bra, n_bra)
+    acc0 = jnp.zeros(out_shape, T.dtype)
+    out, _ = jax.lax.scan(step, acc0, (w, C, D))
+    return out
+
+
 def build_ovvv_plans(ueg_model, correlator=None, dtype=np.float64,
                      **integral_flags):
     """The three ovvv gather plans the matrix-free CCSD dressing needs

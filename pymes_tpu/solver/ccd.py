@@ -168,6 +168,124 @@ def doubles_residual(t_fock_ab, t_fock_ij, t_T_abij, blocks: CCDBlocks,
     return R
 
 
+class CCDBlocksIJ(NamedTuple):
+    """Loop-invariant blocks pre-permuted for the occupied-leading layout.
+
+    TPU tiles the *trailing two* axes in (8, 128) lanes, so any tensor
+    whose trailing axes are occupied (size no≈7) pads up to ~18×; keeping
+    every in-loop operand/temporary in ``[occ..., vir...]`` order
+    (T2 carried as ``T[i,j,a,b]``) keeps padding at ~1.1×
+    (``benchmarks/probe_h_layout.py``).  Built once outside the
+    ``while_loop`` by :func:`blocks_ij_from`.
+    """
+
+    klij: jnp.ndarray    # V[k,l,i,j] (all-occupied, unchanged)
+    ijab: jnp.ndarray    # V[i,j,a,b] (already occ-leading)
+    ijab_x: jnp.ndarray  # V[i,j,b,a] (exchange image, for the energy)
+    abij_t: jnp.ndarray  # V[a,b,i,j] -> [i,j,a,b]
+    ikac: jnp.ndarray    # V_iajb[k,a,i,c] -> [i,k,a,c]
+    kjcb: jnp.ndarray    # V_iabj[k,b,c,j] -> [k,j,c,b]
+    abcd: jnp.ndarray    # dense ladder block (may be None with presliced)
+    ladder: object = None  # optional matrix-free UEGLadder plan
+
+
+def blocks_ij_from(blocks: CCDBlocks):
+    return CCDBlocksIJ(
+        klij=blocks.klij,
+        ijab=blocks.ijab,
+        ijab_x=jnp.transpose(blocks.ijab, (0, 1, 3, 2)),
+        abij_t=jnp.transpose(blocks.abij, (2, 3, 0, 1)),
+        ikac=jnp.transpose(blocks.iajb, (2, 0, 1, 3)),
+        kjcb=jnp.transpose(blocks.iabj, (0, 3, 2, 1)),
+        abcd=blocks.abcd,
+        ladder=blocks.ladder,
+    )
+
+
+@partial(jax.jit, static_argnames=("is_dcd", "is_bruekner", "contract_mode"))
+def doubles_residual_ij(t_fock_ab, t_fock_ij, t_T_ijab, V: CCDBlocksIJ,
+                        is_dcd=False, is_bruekner=False,
+                        contract_mode="xla", abcd_presliced=None):
+    """CCD/DCD doubles residual in the occupied-leading layout.
+
+    Same diagrams as :func:`doubles_residual` (reference
+    ``pymes/solver/ccd.py:164``) with every contraction re-indexed so both
+    operands and the output carry ``[occ..., vir...]`` axis order — the
+    TPU-friendly layout (virtual axes land in the tiled trailing
+    positions).  Verified element-exact against the abij form
+    (``tests/test_ccd_layout.py``).
+    """
+    cm = contract_mode
+
+    def c2(spec, x, y):
+        return contract(spec, x, y, mode=cm)
+
+    t = t_T_ijab
+    tilde = 2.0 * t - jnp.transpose(t, (0, 1, 3, 2))  # 2T - T^(a<->b)
+
+    I_klij = V.klij
+    if not is_dcd:
+        I_klij = I_klij + c2("klcd,ijcd->klij", V.ijab, t)
+
+    R = V.abij_t
+    R = R + c2("klij,klab->ijab", I_klij, t)
+
+    # particle-particle ladder: R_ij,ab += T_ij,cd V_ab,cd
+    if V.ladder is not None:
+        # matrix-free UEG ladder in the occupied-leading layout (plain
+        # ladder only — the T1-dressed CCSD variant lives on the abij path)
+        from pymes_tpu.ops.ueg_ladder import ueg_ladder_apply_ij
+        no_ = t.shape[0]
+        W = ueg_ladder_apply_ij(V.ladder, t)
+        if W.shape[-1] != t.shape[-1]:  # all-bra plan: take vv corner
+            W = W[:, :, no_:, no_:]
+        R = R + W
+    elif abcd_presliced is not None:
+        no_, nv = t.shape[1], t.shape[2]
+        sb, eb = abcd_presliced  # slices of V.abcd^T, columns = (a,b)
+        opts = _ct.parse_mode(cm) or (9, 9)
+        sa, ea = ozaki.slice_rows(t.reshape(no_ * no_, nv * nv), sb.shape[0])
+        W = ozaki.matmul_presliced(sa, ea, sb, eb, t_cutoff=opts[1])
+        R = R + W.reshape(no_, no_, nv, nv)
+    else:
+        R = R + c2("ijcd,abcd->ijab", t, V.abcd)
+
+    if not is_dcd:
+        X_ljac = c2("klcd,kjad->ljac", V.ijab, t)
+        R = R + c2("ljac,ilcb->ijab", X_ljac, t)
+
+    # quadratic ring with spin-adapted amplitudes
+    X_kjcb = c2("klcd,ljdb->kjcb", V.ijab, tilde)
+    R = R + c2("ikac,kjcb->ijab", tilde, X_kjcb)
+
+    coeff = (0.0 if is_bruekner else 0.5) + (0.0 if is_dcd else 0.5)
+    X_ac = t_fock_ab - coeff * c2("klad,lkdc->ac", tilde, V.ijab)
+    X_ki = t_fock_ij + coeff * c2("ilcd,lkdc->ki", tilde, V.ijab)
+
+    Ex = c2("ac,ijcb->ijab", X_ac, t)
+    Ex = Ex - c2("ki,kjab->ijab", X_ki, t)
+    Ex = Ex - c2("ikac,kjcb->ijab", V.ikac, t)
+    Ex = Ex - c2("ikbc,kjac->ijab", V.ikac, t)
+    Ex = Ex + c2("ikac,kjcb->ijab", tilde, V.kjcb)
+
+    if not is_dcd:
+        X_lica = c2("klcd,kida->lica", V.ijab, t)
+        Ex = Ex - c2("lica,ljcb->ijab", X_lica, t)
+        Ex = Ex + c2("lica,ljbc->ijab", X_lica, t)
+
+    R = R + Ex + jnp.transpose(Ex, (1, 0, 3, 2))  # P(ab,ij)
+    return R
+
+
+@jax.jit
+def ccd_energy_ij(t_T_ijab, t_V_ijab, t_V_ijab_x):
+    """(direct, exchange) energy in the occupied-leading layout — pure
+    elementwise mul + sum, no transposes in the loop."""
+    e_dir = 2.0 * jnp.sum(t_T_ijab * t_V_ijab)
+    e_exc = -1.0 * jnp.sum(t_T_ijab * t_V_ijab_x)
+    return e_dir, e_exc
+
+
 @jax.jit
 def ccd_energy(t_T_abij, t_V_ijab):
     """(direct, exchange) CCD correlation energy pieces.
@@ -184,6 +302,18 @@ def ccd_energy(t_T_abij, t_V_ijab):
     return e_dir, e_exc
 
 
+@partial(jax.jit, static_argnames=("n_slices", "layout"))
+def preslice_abcd(abcd, n_slices, layout="abij"):
+    """Ozaki-slice the loop-invariant ladder block for the given loop
+    layout (abij: rows of V; ijab: columns of Vᵀ — the amplitudes then
+    supply the other operand each iteration)."""
+    nv = abcd.shape[0]
+    V2 = abcd.reshape(nv * nv, nv * nv)
+    if layout == "ijab":
+        return ozaki.slice_cols(V2.T, n_slices)
+    return ozaki.slice_rows(V2, n_slices)
+
+
 class CCDCarry(NamedTuple):
     T: jnp.ndarray
     eps_i: jnp.ndarray
@@ -198,13 +328,20 @@ class CCDCarry(NamedTuple):
 @partial(jax.jit, static_argnames=("no", "is_dcd", "is_diis", "is_dr_ccd",
                                    "is_bruekner", "max_iter", "dim_space",
                                    "log_iterations", "contract_mode",
-                                   "ring_mesh", "ring_axis"))
+                                   "ring_mesh", "ring_axis", "layout"))
 def ccd_solve_jit(t_fock_pq, blocks: CCDBlocks, no, t_T0_abij,
                   level_shift=0.0, delta_e=1e-8, max_iter=50,
                   is_dcd=False, is_diis=True, is_dr_ccd=False,
                   is_bruekner=False, dim_space=6, log_iterations=False,
-                  contract_mode="xla", ring_mesh=None, ring_axis="a"):
+                  contract_mode="xla", ring_mesh=None, ring_axis="a",
+                  layout="abij", abcd_presliced=None):
     """Fully on-device CCD fixed point: ``lax.while_loop`` over Jacobi + DIIS.
+
+    ``layout="ijab"`` carries T2 occupied-leading inside the loop (the
+    TPU-friendly tiling; see :class:`CCDBlocksIJ`) — bit-identical math,
+    returned amplitudes are transposed back to ``abij``.  Only the dense
+    ``abcd`` path supports it (ladder plans and the ring path are
+    abij-native).
 
     Returns (e_corr, T_abij, eps_i, eps_a, dE, n_iter).
     """
@@ -215,23 +352,38 @@ def ccd_solve_jit(t_fock_pq, blocks: CCDBlocks, no, t_T0_abij,
     f_ij = t_fock_pq[:no, :no]
     nv = eps_a0.shape[0]
 
+    ij = layout == "ijab"
+    if ij and (is_dr_ccd or ring_mesh is not None
+               or (blocks.abcd is None and blocks.ladder is None)):
+        raise ValueError("layout='ijab' requires the dense-abcd or "
+                         "matrix-free-ladder path")
+
     # Ozaki mode: slice the loop-invariant nv^4 ladder block once, outside
-    # the while_loop, so each iteration only slices the amplitudes
-    abcd_presliced = None
-    if (ring_mesh is None
+    # the while_loop, so each iteration only slices the amplitudes.
+    # Callers that solve repeatedly should pass ``abcd_presliced``
+    # (:func:`preslice_abcd`) so the slicing doesn't re-run per solve call.
+    if (abcd_presliced is None
+            and ring_mesh is None and blocks.ladder is None
             and _ct.parse_mode(contract_mode) is not None
             and blocks.abcd is not None
             and blocks.abcd.dtype == jnp.float64):
         n_slices = _ct.parse_mode(contract_mode)[0]
-        abcd_presliced = ozaki.slice_rows(
-            blocks.abcd.reshape(nv * nv, nv * nv), n_slices)
+        abcd_presliced = preslice_abcd(blocks.abcd, n_slices, layout)
 
-    e0_dir, e0_exc = ccd_energy(t_T0_abij, blocks.ijab)
+    if ij:
+        V_ij = blocks_ij_from(blocks)
+        if abcd_presliced is not None:
+            V_ij = V_ij._replace(abcd=None)  # keep only the sliced form
+        t_T0 = jnp.transpose(t_T0_abij, (2, 3, 0, 1))
+        e0_dir, e0_exc = ccd_energy_ij(t_T0, V_ij.ijab, V_ij.ijab_x)
+    else:
+        t_T0 = t_T0_abij
+        e0_dir, e0_exc = ccd_energy(t_T0_abij, blocks.ijab)
     e0 = jnp.real(e0_dir + e0_exc)
 
     n_flat = nv * nv * no * no
     carry0 = CCDCarry(
-        T=t_T0_abij,
+        T=t_T0,
         eps_i=eps_i0, eps_a=eps_a0,
         diis=diis.init_state(dim_space, n_flat, t_T0_abij.dtype),
         e_last=e0,
@@ -248,6 +400,11 @@ def ccd_solve_jit(t_fock_pq, blocks: CCDBlocks, no, t_T0_abij,
             from pymes_tpu.solver import drccd
             R = drccd.residual(c.eps_i, c.eps_a, c.T, blocks.abij,
                                blocks.iabj, blocks.ijab)
+        elif ij:
+            R = doubles_residual_ij(f_ab, f_ij, c.T, V_ij,
+                                    is_dcd=is_dcd, is_bruekner=is_bruekner,
+                                    contract_mode=contract_mode,
+                                    abcd_presliced=abcd_presliced)
         else:
             R = doubles_residual(f_ab, f_ij, c.T, blocks,
                                  is_dcd=is_dcd, is_bruekner=is_bruekner,
@@ -261,14 +418,25 @@ def ccd_solve_jit(t_fock_pq, blocks: CCDBlocks, no, t_T0_abij,
             # the canonical ε₀ (the reference compounds the correction onto
             # the already-shifted ε every iteration, ccd.py:110-115, which
             # diverges — hole energies reach ±10³ Ha on LiH)
-            tilde_T = 2.0 * c.T - jnp.einsum("baij->abij", c.T)
-            eps_i = eps_i0 + 0.5 * jnp.einsum("ilcd,cdil->i", blocks.ijab,
-                                              tilde_T)
-            eps_a = eps_a0 - 0.5 * jnp.einsum("klad,adkl->a", blocks.ijab,
-                                              tilde_T)
+            if ij:
+                tilde_T = 2.0 * c.T - jnp.transpose(c.T, (0, 1, 3, 2))
+                eps_i = eps_i0 + 0.5 * jnp.einsum(
+                    "ilcd,ilcd->i", blocks.ijab, tilde_T)
+                eps_a = eps_a0 - 0.5 * jnp.einsum(
+                    "klad,klad->a", blocks.ijab, tilde_T)
+            else:
+                tilde_T = 2.0 * c.T - jnp.einsum("baij->abij", c.T)
+                eps_i = eps_i0 + 0.5 * jnp.einsum(
+                    "ilcd,cdil->i", blocks.ijab, tilde_T)
+                eps_a = eps_a0 - 0.5 * jnp.einsum(
+                    "klad,adkl->a", blocks.ijab, tilde_T)
 
-        D = (eps_i[None, None, :, None] + eps_i[None, None, None, :]
-             - eps_a[:, None, None, None] - eps_a[None, :, None, None])
+        if ij:
+            D = (eps_i[:, None, None, None] + eps_i[None, :, None, None]
+                 - eps_a[None, None, :, None] - eps_a[None, None, None, :])
+        else:
+            D = (eps_i[None, None, :, None] + eps_i[None, None, None, :]
+                 - eps_a[:, None, None, None] - eps_a[None, :, None, None])
         dT = R / (D + level_shift)
         T = c.T + dT
 
@@ -277,7 +445,10 @@ def ccd_solve_jit(t_fock_pq, blocks: CCDBlocks, no, t_T0_abij,
             diis_state, mixed = diis.mix(diis_state, dT.ravel(), T.ravel())
             T = mixed.reshape(T.shape)
 
-        e_dir, e_exc = ccd_energy(T, blocks.ijab)
+        if ij:
+            e_dir, e_exc = ccd_energy_ij(T, V_ij.ijab, V_ij.ijab_x)
+        else:
+            e_dir, e_exc = ccd_energy(T, blocks.ijab)
         if is_dr_ccd:
             # drCCD/dRPA energy is direct-ring only (the reference wires the
             # CCD dir+exchange energy here, ccd.py:129-132 — with it, the
@@ -296,7 +467,8 @@ def ccd_solve_jit(t_fock_pq, blocks: CCDBlocks, no, t_T0_abij,
                         e_last=e, dE=dE, it=c.it + 1, e_hist=e_hist)
 
     out = jax.lax.while_loop(cond, body, carry0)
-    return out.e_last, out.T, out.eps_i, out.eps_a, out.dE, out.it, \
+    T_out = jnp.transpose(out.T, (2, 3, 0, 1)) if ij else out.T
+    return out.e_last, T_out, out.eps_i, out.eps_a, out.dE, out.it, \
         out.e_hist
 
 
@@ -321,7 +493,7 @@ class CCD:
 
     def solve(self, t_fock_pq, t_V_pqrs, level_shift=0.0, sp=0, amps=None,
               mixed_precision=False, contract_mode=None, ring_mesh=None,
-              ring_axis="a", **kwargs):
+              ring_axis="a", layout=None, **kwargs):
         """Solve the doubles equations.
 
         ``mixed_precision=True`` runs the bulk of the fixed point in f32
@@ -351,6 +523,12 @@ class CCD:
         else:
             blocks = blocks_from_full(no, jnp.asarray(t_V_pqrs))
 
+        if layout is None:  # occupied-leading loop layout when eligible
+            eligible = (not self.is_dr_ccd and ring_mesh is None
+                        and (blocks.abcd is not None
+                             or blocks.ladder is not None))
+            layout = "ijab" if eligible else "abij"
+
         eps_i = jnp.diagonal(t_fock_pq)[:no]
         eps_a = jnp.diagonal(t_fock_pq)[no:]
 
@@ -377,11 +555,19 @@ class CCD:
                 delta_e=max(1e-5, delta_e), max_iter=max_iter,
                 is_dcd=self.is_dcd, is_diis=self.is_diis,
                 is_dr_ccd=self.is_dr_ccd, is_bruekner=self.is_bruekner,
-                dim_space=self.dim_space)
+                dim_space=self.dim_space, layout=layout)
             print_logging_info(
                 "mixed precision: {} f32 iterations".format(int(it32)),
                 level=1)
             t_T_abij = T32.astype(jnp.float64)
+
+        abcd_presliced = None
+        if (ring_mesh is None and blocks.ladder is None
+                and _ct.parse_mode(contract_mode) is not None
+                and blocks.abcd is not None
+                and blocks.abcd.dtype == jnp.float64):
+            abcd_presliced = preslice_abcd(
+                blocks.abcd, _ct.parse_mode(contract_mode)[0], layout)
 
         e, T, eps_i, eps_a, dE, n_iter, e_hist = ccd_solve_jit(
             t_fock_pq, blocks, int(no), t_T_abij,
@@ -390,7 +576,8 @@ class CCD:
             is_dr_ccd=self.is_dr_ccd, is_bruekner=self.is_bruekner,
             dim_space=self.dim_space, log_iterations=self.log_iterations,
             contract_mode=contract_mode, ring_mesh=ring_mesh,
-            ring_axis=ring_axis)
+            ring_axis=ring_axis, layout=layout,
+            abcd_presliced=abcd_presliced)
 
         n_iter = int(n_iter)
         if n_iter > max_iter:
