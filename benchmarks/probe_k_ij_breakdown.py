@@ -1,5 +1,8 @@
 """Probe K: per-component breakdown of the ij-layout residual at nP=123.
 
+All operands are shipped as jit args (closed-over constants blow the
+axon remote-compile request size).
+
 Run: python -u benchmarks/probe_k_ij_breakdown.py > /tmp/probe_k.out 2>&1
 """
 import os
@@ -41,17 +44,18 @@ jax.block_until_ready((T_ab, T_ij, Vij.abij_t))
 print(f"nP={n_p}", flush=True)
 
 MODE = "ozaki:7:6"
-pre_ab = ozaki.slice_rows(blocks.abcd.reshape(nv * nv, nv * nv), 7)
-pre_ij = ozaki.slice_cols(blocks.abcd.reshape(nv * nv, nv * nv).T, 7)
+pre_ab = ccd.preslice_abcd(blocks.abcd, 7, "abij")
+pre_ij = ccd.preslice_abcd(blocks.abcd, 7, "ijab")
 jax.block_until_ready((pre_ab[0], pre_ij[0]))
 
 
 def timeit(tag, fn, *args, n1=3, n2=13):
+    # fn(*args) with args[0] the dependency-carried operand
     @partial(jax.jit, static_argnums=0)
     def run(n, *a):
         def body(i, acc):
             x = fn(*((a[0] * (1.0 + acc * 1e-300),) + a[1:]))
-            return acc + jnp.sum(x) * 1e-300
+            return acc + jnp.sum(x).astype(jnp.float64) * 1e-300
         return jax.lax.fori_loop(0, n, body, jnp.zeros((), jnp.float64))
 
     float(run(n1, *args)); float(run(n2, *args))
@@ -59,71 +63,66 @@ def timeit(tag, fn, *args, n1=3, n2=13):
     t1 = time.perf_counter(); float(run(n2, *args))
     t2 = time.perf_counter()
     dt = ((t2 - t1) - (t1 - t0)) / (n2 - n1)
-    print(f"{tag:42s}: {dt*1e3:8.2f} ms", flush=True)
+    print(f"{tag:44s}: {dt*1e3:8.2f} ms", flush=True)
     return dt
 
 
-# full residuals
 timeit("residual abij (ozaki:7:6)",
-       lambda T: ccd.doubles_residual(f_ab, f_ij, T, blocks,
-                                      contract_mode=MODE,
-                                      abcd_presliced=pre_ab), T_ab)
+       lambda T, fa, fi, B, P: ccd.doubles_residual(
+           fa, fi, T, B, contract_mode=MODE, abcd_presliced=P),
+       T_ab, f_ab, f_ij, blocks, pre_ab)
 timeit("residual ijab (ozaki:7:6)",
-       lambda T: ccd.doubles_residual_ij(f_ab, f_ij, T, Vij,
-                                         contract_mode=MODE,
-                                         abcd_presliced=pre_ij), T_ij)
+       lambda T, fa, fi, B, P: ccd.doubles_residual_ij(
+           fa, fi, T, B, contract_mode=MODE, abcd_presliced=P),
+       T_ij, f_ab, f_ij, Vij, pre_ij)
 
-# ladder alone, both orientations
-def lad_ab(T):
+
+def lad_ab(T, sa, ea):
     sb, eb = ozaki.slice_cols(T.reshape(nv * nv, no * no), 7)
-    W = ozaki.matmul_presliced(pre_ab[0], pre_ab[1], sb, eb, t_cutoff=6)
-    return W.reshape(nv, nv, no, no)
+    return ozaki.matmul_presliced(sa, ea, sb, eb,
+                                  t_cutoff=6).reshape(nv, nv, no, no)
 
 
-def lad_ij(T):
+def lad_ij(T, sb, eb):
     sa, ea = ozaki.slice_rows(T.reshape(no * no, nv * nv), 7)
-    W = ozaki.matmul_presliced(sa, ea, pre_ij[0], pre_ij[1], t_cutoff=6)
-    return W.reshape(no, no, nv, nv)
+    return ozaki.matmul_presliced(sa, ea, sb, eb,
+                                  t_cutoff=6).reshape(no, no, nv, nv)
 
 
-timeit("ladder abij (V-rows presliced)", lad_ab, T_ab)
-timeit("ladder ijab (V^T-cols presliced)", lad_ij, T_ij)
+def lad_ij_viaT(T, sa, ea):
+    # C^T trick: (t @ V^T) = (V @ t^T)^T — reuse the abij-orientation
+    # presliced V rows, transpose only the small operands
+    t2 = T.reshape(no * no, nv * nv).T
+    sb, eb = ozaki.slice_cols(t2, 7)
+    W = ozaki.matmul_presliced(sa, ea, sb, eb, t_cutoff=6)
+    return W.reshape(nv, nv, no, no).transpose(2, 3, 0, 1)
 
-# individual ij einsums
-for spec, aa, bb in (
-        ("klcd,ijcd->klij", Vij.ijab, T_ij),
-        ("klij,klab->ijab", None, T_ij),
-        ("klcd,kjad->ljac", Vij.ijab, T_ij),
-        ("ljac,ilcb->ijab", None, T_ij),
-        ("klcd,ljdb->kjcb", Vij.ijab, T_ij),
-        ("ikac,kjcb->ijab", T_ij, T_ij),
-        ("klad,lkdc->ac", T_ij, Vij.ijab),
-        ("ac,ijcb->ijab", f_ab, T_ij),
-        ("ki,kjab->ijab", f_ij, T_ij),
-        ("ikac,kjcb->ijab(V)", Vij.ikac, T_ij),
-        ("ikbc,kjac->ijab", Vij.ikac, T_ij),
-        ("lica,ljcb->ijab", T_ij, T_ij),
-        ("lica,ljbc->ijab", T_ij, T_ij),
-):
-    s = spec.replace("(V)", "")
-    if aa is None:
-        aa = jnp.asarray(rng.standard_normal(
-            [dict(zip("ijklabcd", [no]*4+[nv]*4))[c]
-             for c in s.split(",")[0]]))
-    timeit(f"c2 {spec}", lambda A, B, s=s: contract(s, A, B, mode=MODE),
-           aa, bb)
 
-# preslice costs (these run once per solve call, inside the jit)
+timeit("ladder abij (V-rows presliced)", lad_ab, T_ab, *pre_ab)
+timeit("ladder ijab (V^T-cols presliced)", lad_ij, T_ij, *pre_ij)
+timeit("ladder ijab via C^T (V-rows presliced)", lad_ij_viaT, T_ij, *pre_ab)
+
+for spec in ("klcd,ijcd->klij", "klcd,kjad->ljac", "klcd,ljdb->kjcb",
+             "ikac,kjcb->ijab", "klad,lkdc->ac", "lica,ljcb->ijab",
+             "lica,ljbc->ijab", "ikbc,kjac->ijab"):
+    timeit(f"c2 {spec}",
+           lambda A, B, s=spec: contract(s, A, B, mode=MODE), T_ij, Vij.ijab
+           if spec.split(",")[0] in ("klcd",) else T_ij)
+
+timeit("tilde (ij layout)",
+       lambda T: 2.0 * T - jnp.transpose(T, (0, 1, 3, 2)), T_ij)
+timeit("P(ab,ij) transpose (ij)",
+       lambda T: T + jnp.transpose(T, (1, 0, 3, 2)), T_ij)
+timeit("tilde (abij layout)",
+       lambda T: 2.0 * T - jnp.transpose(T, (1, 0, 2, 3)), T_ab)
+timeit("P transpose (abij)",
+       lambda T: T + jnp.transpose(T, (1, 0, 3, 2)), T_ab)
+
+# preslice costs (once per solve call when not hoisted)
 V2 = blocks.abcd.reshape(nv * nv, nv * nv)
 timeit("slice_rows(V) x7", lambda V: ozaki.slice_rows(V, 7)[0]
        .sum(dtype=jnp.float64), V2, n1=1, n2=4)
 timeit("V.T (f64)", lambda V: jnp.transpose(V), V2, n1=1, n2=4)
 timeit("slice_cols(V.T) x7", lambda V: ozaki.slice_cols(
     jnp.transpose(V), 7)[0].sum(dtype=jnp.float64), V2, n1=1, n2=4)
-
-# elementwise + transposes in ij layout
-timeit("tilde (ij layout)",
-       lambda T: 2.0 * T - jnp.transpose(T, (0, 1, 3, 2)), T_ij)
-timeit("P(ab,ij) transpose (ij)",
-       lambda T: T + jnp.transpose(T, (1, 0, 3, 2)), T_ij)
 print("PROBE K DONE", flush=True)

@@ -104,15 +104,61 @@ def _int_dot(a8, b8):
         a8, b8, (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32)
 
 
+# below this many columns (rows), the N-stacked (M-stacked) fast path is
+# used: the big stationary operand's slices are read ONCE each instead of
+# once per diagonal pair — the slice-pair loop is bandwidth-bound on the
+# big operand (measured 7.0 -> ~3 ms for the nP=123 ladder)
+_STACK_MAX = 4096
+
+
 def matmul_presliced(sa, ea, sb, eb, t_cutoff):
     """f64 C = A @ B from pre-sliced operands.
 
     ``sa``: (S, M, K) int8, ``ea``: (M,) int32 row exponents of A;
     ``sb``: (S, K, N) int8, ``eb``: (N,) int32 column exponents of B.
+
+    When one free dimension is small (CC amplitudes: N or M = no² ≪ nv²),
+    the small operand's slices are stacked along that dimension and the
+    big operand's slices each enter ONE int8 matmul — all S² slice pairs
+    are then reconstructed (a superset of the requested ``t_cutoff``
+    diagonals, so accuracy is ≥ the pair-loop path), with the big slices
+    read once each instead of once per diagonal.
     """
     n_slices = sa.shape[0]
     k_dim = sa.shape[2]
     t_max = min(int(t_cutoff), 2 * n_slices - 2)
+
+    # int32 exactness for a single slice pair: K * 63^2 < 2^31
+    if k_dim * _PROD_MAX < _INT32_HEADROOM:
+        m_dim, n_dim = sa.shape[1], sb.shape[2]
+        if n_dim * n_slices <= _STACK_MAX and n_dim <= m_dim:
+            # stationary A: B slices stacked along N
+            b_cat = jnp.concatenate(list(sb), axis=1)     # (K, S*N)
+            acc = None
+            for i in range(n_slices):
+                c = _int_dot(sa[i], b_cat).astype(jnp.float64)
+                c = c.reshape(m_dim, n_slices, n_dim)
+                scale = jnp.asarray(
+                    [2.0 ** (-SLICE_BITS * (i + j + 2))
+                     for j in range(n_slices)], jnp.float64)
+                # mul+sum, not einsum: the emulated-f64 short-axis dot
+                # lowering is ~60x off roofline on TPU (probe G)
+                term = (c * scale[None, :, None]).sum(axis=1)
+                acc = term if acc is None else acc + term
+            return acc * _pow2(ea[:, None] + eb[None, :])
+        if m_dim * n_slices <= _STACK_MAX and m_dim < n_dim:
+            # stationary B: A slices stacked along M
+            a_cat = jnp.concatenate(list(sa), axis=0)     # (S*M, K)
+            acc = None
+            for j in range(n_slices):
+                c = _int_dot(a_cat, sb[j]).astype(jnp.float64)
+                c = c.reshape(n_slices, m_dim, n_dim)
+                scale = jnp.asarray(
+                    [2.0 ** (-SLICE_BITS * (i + j + 2))
+                     for i in range(n_slices)], jnp.float64)
+                term = (c * scale[:, None, None]).sum(axis=0)
+                acc = term if acc is None else acc + term
+            return acc * _pow2(ea[:, None] + eb[None, :])
 
     # int32 exactness: (#pairs on diagonal) * k_chunk * 63^2 < 2^31
     worst_pairs = min(t_max + 1, n_slices)

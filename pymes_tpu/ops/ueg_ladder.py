@@ -235,6 +235,25 @@ def build_ovvv_plans(ueg_model, correlator=None, dtype=np.float64,
             for pat in ("vvo", "ovv", "vov")}
 
 
+def dressed_ladder_apply_ij(ladder_all: UEGLadder, T_ai, T_ijab, no,
+                            W=None):
+    """Occupied-leading variant of :func:`dressed_ladder_apply`:
+    ``R_ijab = Σ_cd V̄_abcd T_cdij`` with T2 and the result carried as
+    ``[i,j,a,b]`` and the all-bra W as ``W[i,j,p,q]``."""
+    if W is None:
+        W = ueg_ladder_apply_ij(ladder_all, T_ijab)
+    W_vv = W[:, :, no:, no:]
+    W_ov = W[:, :, :no, no:]
+    W_vo = W[:, :, no:, :no]
+    W_oo = W[:, :, :no, :no]
+    T1 = jnp.asarray(T_ai)
+    R = W_vv
+    R = R - jnp.einsum("ak,ijkb->ijab", T1, W_ov)
+    R = R - jnp.einsum("bl,ijal->ijab", T1, W_vo)
+    R = R + jnp.einsum("ak,bl,ijkl->ijab", T1, T1, W_oo)
+    return R
+
+
 def dressed_ladder_apply(ladder_all: UEGLadder, T_ai, T_abij, no, W=None):
     """T1-dressed ladder  R_abij = Σ_cd V̄_abcd T_cdij  without building
     V̄_abcd: the bra dressing is rank-1 (Λ = I − T̂, ccsd formalism), so

@@ -186,7 +186,8 @@ class CCDBlocksIJ(NamedTuple):
     ikac: jnp.ndarray    # V_iajb[k,a,i,c] -> [i,k,a,c]
     kjcb: jnp.ndarray    # V_iabj[k,b,c,j] -> [k,j,c,b]
     abcd: jnp.ndarray    # dense ladder block (may be None with presliced)
-    ladder: object = None  # optional matrix-free UEGLadder plan
+    ladder: object = None    # optional matrix-free UEGLadder plan
+    ladder_W: object = None  # optional precomputed all-bra W[i,j,p,q]
 
 
 def blocks_ij_from(blocks: CCDBlocks):
@@ -204,7 +205,7 @@ def blocks_ij_from(blocks: CCDBlocks):
 
 @partial(jax.jit, static_argnames=("is_dcd", "is_bruekner", "contract_mode"))
 def doubles_residual_ij(t_fock_ab, t_fock_ij, t_T_ijab, V: CCDBlocksIJ,
-                        is_dcd=False, is_bruekner=False,
+                        is_dcd=False, is_bruekner=False, t_T_ai=None,
                         contract_mode="xla", abcd_presliced=None):
     """CCD/DCD doubles residual in the occupied-leading layout.
 
@@ -232,14 +233,20 @@ def doubles_residual_ij(t_fock_ab, t_fock_ij, t_T_ijab, V: CCDBlocksIJ,
 
     # particle-particle ladder: R_ij,ab += T_ij,cd V_ab,cd
     if V.ladder is not None:
-        # matrix-free UEG ladder in the occupied-leading layout (plain
-        # ladder only — the T1-dressed CCSD variant lives on the abij path)
-        from pymes_tpu.ops.ueg_ladder import ueg_ladder_apply_ij
+        # matrix-free UEG ladder in the occupied-leading layout; with T1
+        # present the plan must be all-bra and the rank-1 bra dressing is
+        # applied around the gather (T1-dressed CCSD)
+        from pymes_tpu.ops.ueg_ladder import (dressed_ladder_apply_ij,
+                                              ueg_ladder_apply_ij)
         no_ = t.shape[0]
-        W = ueg_ladder_apply_ij(V.ladder, t)
-        if W.shape[-1] != t.shape[-1]:  # all-bra plan: take vv corner
-            W = W[:, :, no_:, no_:]
-        R = R + W
+        if t_T_ai is not None:
+            R = R + dressed_ladder_apply_ij(V.ladder, t_T_ai, t, no_,
+                                            W=V.ladder_W)
+        else:
+            W = ueg_ladder_apply_ij(V.ladder, t)
+            if W.shape[-1] != t.shape[-1]:  # all-bra plan: take vv corner
+                W = W[:, :, no_:, no_:]
+            R = R + W
     elif abcd_presliced is not None:
         no_, nv = t.shape[1], t.shape[2]
         sb, eb = abcd_presliced  # slices of V.abcd^T, columns = (a,b)

@@ -130,6 +130,60 @@ def test_matrix_free_ladder_ij_layout():
     np.testing.assert_allclose(outs["abij"][1], outs["ijab"][1], atol=1e-9)
 
 
+def test_ccsd_layouts_agree_dense_and_matrix_free():
+    """CCSD fixed point: ijab loop layout == abij, dense LiH-style random
+    blocks AND the UEG matrix-free (T1-dressed gather ladder) path."""
+    from pymes_tpu.solver import ccsd
+    from pymes_tpu.models import ueg
+    from pymes_tpu.mean_field import hf
+    from pymes_tpu.integral.partition import part_2_body_int
+    from pymes_tpu.ops.ueg_ladder import build_ueg_ladder
+
+    # dense path on a random Hermitian V
+    no, nv = 2, 6
+    _, V = _random_blocks(no, nv, seed=11)
+    eps = np.concatenate([np.linspace(-2.0, -1.0, no),
+                          np.linspace(1.0, 3.0, nv)])
+    fock = jnp.asarray(np.diag(eps))
+    outs = {}
+    for layout in ("abij", "ijab"):
+        r = ccsd.CCSD(no, delta_e=1e-10).solve(fock, jnp.asarray(V),
+                                               layout=layout)
+        outs[layout] = r
+    assert abs(outs["abij"]["ccsd e"] - outs["ijab"]["ccsd e"]) < 1e-9
+    np.testing.assert_allclose(np.asarray(outs["abij"]["t2"]),
+                               np.asarray(outs["ijab"]["t2"]), atol=1e-8)
+    np.testing.assert_allclose(np.asarray(outs["abij"]["t1"]),
+                               np.asarray(outs["ijab"]["t1"]), atol=1e-8)
+
+    # matrix-free UEG with off-diagonal Fock noise so T1 is genuinely
+    # nonzero (clean Γ-point momentum conservation forces T1 ≡ 0, which
+    # would mask dressed-ladder layout defects)
+    u = ueg.UEG(14, 7, 7, 1.0)
+    u.init_single_basis(2)
+    no = 7
+    Vu = np.asarray(u.eval_2b_integrals())
+    fu = np.asarray(hf.construct_hf_matrix(
+        no, np.diag(u.kinetic_energies()), jnp.asarray(Vu)))
+    rng = np.random.default_rng(5)
+    noise = rng.standard_normal(fu.shape) * 0.02
+    fu = jnp.asarray(fu + noise + noise.T)
+    dv = {k: v for k, v in part_2_body_int(no, jnp.asarray(Vu)).items()
+          if k not in ("abcd", "abci")}
+    lad_all = build_ueg_ladder(u, bra="all")
+    outs = {}
+    for layout in ("abij", "ijab"):
+        r = ccsd.CCSD(no, delta_e=1e-10).solve(fu, dv, ladder=lad_all,
+                                               max_iter=200, layout=layout)
+        outs[layout] = r
+    assert abs(outs["abij"]["ccsd e"] - outs["ijab"]["ccsd e"]) < 1e-9
+    assert float(jnp.abs(outs["ijab"]["t1"]).max()) > 1e-3  # T1 nonzero
+    np.testing.assert_allclose(np.asarray(outs["abij"]["t2"]),
+                               np.asarray(outs["ijab"]["t2"]), atol=1e-7)
+    np.testing.assert_allclose(np.asarray(outs["abij"]["t1"]),
+                               np.asarray(outs["ijab"]["t1"]), atol=1e-7)
+
+
 def test_solver_api_defaults_to_ij_layout_and_oracle():
     # CCD.solve auto-selects the ijab loop layout on the dense path and
     # still hits the same fixed point as the abij layout
