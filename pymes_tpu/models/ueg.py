@@ -79,16 +79,21 @@ class UEG:
         return self.basis.n_spatial
 
     def _lookup_flat(self, k_int):
-        """Reference-compatible flat lookup (no per-component bounds check).
+        """k-vector → orbital lookup with PER-COMPONENT bounds checking.
 
-        ``loc = n²(x+imax) + n(y+imax) + (z+imax)``; valid iff 0 ≤ loc < n³
-        and the table entry is ≥ 0 (mirrors ``ueg.py:397-407,234-243``).
+        The reference checks only the flattened index range
+        (``0 ≤ loc < n³``, ``ueg.py:234-243,397-407``), so an out-of-range
+        component ALIASES into a neighbouring row — e.g. at cutoff 10 the
+        lookup of k_s = (0,3,0)−2·(0,3,0) wraps onto the in-basis
+        (0,−3,0) and produces momentum-VIOLATING integrals (16 nonzeros
+        at nP=123, growing with cutoff; zero at the golden-value cutoffs
+        ≤ 5, so the published oracles are unaffected).  Fixed here:
+        every component must lie in [−imax, imax].
         """
         n = 2 * self.imax + 1
-        loc = (n * n * (k_int[..., 0] + self.imax)
-               + n * (k_int[..., 1] + self.imax)
-               + (k_int[..., 2] + self.imax))
-        valid = (loc >= 0) & (loc < n ** 3)
+        off = k_int + self.imax
+        valid = np.all((off >= 0) & (off < n), axis=-1)
+        loc = (n * n * off[..., 0] + n * off[..., 1] + off[..., 2])
         idx = self.basis_indices_map[np.clip(loc, 0, n ** 3 - 1)]
         return np.where(valid, idx, -1)
 

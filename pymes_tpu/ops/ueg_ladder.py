@@ -225,6 +225,183 @@ def ueg_ladder_apply_ij(ladder: UEGLadder, T_ijab, chunk=1):
     return out
 
 
+class BlockGroup(NamedTuple):
+    """One padded-size bucket of total-momentum sectors."""
+
+    blocks: jnp.ndarray    # (nS, mB, mK) — V values, 0 on padding
+    perm_ket: jnp.ndarray  # (nS, mK) int32 — ket-pair flat ids (pad→0)
+
+
+class BlockLadder(NamedTuple):
+    """Momentum-block-diagonal ladder plan.
+
+    ``V[p,q,c,d] = w(k_c − k_p) δ(k_p+k_q = k_c+k_d)`` is block-diagonal
+    in the total momentum K = k_p+k_q: the ladder contraction is a set of
+    small DENSE matmuls ``R_K = V_K · T_K`` over the pair sectors — the
+    MXU-shaped form of what :func:`ueg_ladder_apply` does as nq masked
+    gathers (which are HBM-gather-bound: 206 ms at nP=219 vs ~2 ms here).
+    Sectors are bucketed by padded (m_bra, m_ket) so each bucket is one
+    batched matmul; every bra pair lands in exactly one sector, so the
+    scatter back is a gather through ``inv_bra`` (a permutation with a
+    trailing zero-column for bra pairs whose K has no ket pair).
+    """
+
+    groups: tuple        # of BlockGroup
+    inv_bra: jnp.ndarray  # (n_bra^2,) int32 into concat-R columns
+    n_bra: int
+    nv: int
+    w0: float = 0.0      # zero-transfer weight w(q=0) (diagonal V_abab)
+
+
+def _pad_to(m):
+    """Bucket size: next power of two, minimum 8."""
+    p = 8
+    while p < m:
+        p *= 2
+    return p
+
+
+def build_block_ladder(ueg_model, correlator=None, dtype=np.float64,
+                       bra="virtual", **integral_flags):
+    """Build a :class:`BlockLadder` (same weight classes as
+    :func:`build_ueg_ladder`; exact vs the dense block,
+    ``tests/test_ueg_ladder.py``)."""
+    no = ueg_model.n_ele // 2
+    n_p = ueg_model.n_spatial
+    nv = n_p - no
+    k_int = np.asarray(ueg_model.basis.k_int)
+    k_ket = k_int[no:]
+    k_bra = k_int if bra == "all" else k_int[no:]
+    n_bra = len(k_bra)
+
+    # total-momentum keys of every bra / ket pair
+    span = 2 * int(np.abs(k_int).max()) + 1
+
+    def enc(K):
+        off = K + (span // 2) * 2  # guard: K in [-2 kmax, 2 kmax]
+        return (off[..., 0] * (2 * span) + off[..., 1]) * (2 * span) \
+            + off[..., 2]
+
+    K_ket = enc((k_ket[:, None, :] + k_ket[None, :, :]).reshape(-1, 3))
+    K_bra = enc((k_bra[:, None, :] + k_bra[None, :, :]).reshape(-1, 3))
+
+    # weight table over the transfer cube t = k_c − k_p
+    tmax = int(np.abs(k_ket[:, None, :] - k_bra[None, :, :]).max())
+    grid = np.arange(-tmax, tmax + 1)
+    T3 = np.stack(np.meshgrid(grid, grid, grid, indexing="ij"),
+                  axis=-1).reshape(-1, 3)
+    wtab = _transfer_weights(ueg_model, T3, correlator,
+                             **integral_flags).reshape(
+        2 * tmax + 1, 2 * tmax + 1, 2 * tmax + 1)
+
+    def w_of(tvec):
+        i = tvec + tmax
+        return wtab[i[..., 0], i[..., 1], i[..., 2]]
+
+    # sector membership
+    order_k = np.argsort(K_ket, kind="stable")
+    keys_k, starts_k = np.unique(K_ket[order_k], return_index=True)
+    order_b = np.argsort(K_bra, kind="stable")
+    keys_b, starts_b = np.unique(K_bra[order_b], return_index=True)
+    ends_k = np.append(starts_k[1:], len(order_k))
+    ends_b = np.append(starts_b[1:], len(order_b))
+    pos_b = {k: i for i, k in enumerate(keys_b)}
+
+    buckets = {}
+    sector_list = []
+    for si, key in enumerate(keys_k):
+        ket_ids = order_k[starts_k[si]:ends_k[si]]
+        bi = pos_b[key]  # ket pairs ⊆ bra pairs for both bra modes
+        bra_ids = order_b[starts_b[bi]:ends_b[bi]]
+        mB, mK = _pad_to(len(bra_ids)), _pad_to(len(ket_ids))
+        buckets.setdefault((mB, mK), []).append((bra_ids, ket_ids))
+        sector_list.append((mB, mK, len(buckets[(mB, mK)]) - 1))
+
+    # assemble groups + global output-column offsets
+    groups = []
+    offsets = {}
+    col0 = 0
+    inv_bra = np.full(n_bra * n_bra, -1, np.int64)
+    for (mB, mK), secs in sorted(buckets.items()):
+        nS = len(secs)
+        blocks = np.zeros((nS, mB, mK), dtype)
+        perm_ket = np.zeros((nS, mK), np.int32)
+        for t, (bra_ids, ket_ids) in enumerate(secs):
+            nb_, nk_ = len(bra_ids), len(ket_ids)
+            tvec = (k_ket[ket_ids // nv][None, :, :]
+                    - k_bra[bra_ids // n_bra][:, None, :])
+            blocks[t, :nb_, :nk_] = w_of(tvec)
+            perm_ket[t, :nk_] = ket_ids
+            inv_bra[bra_ids] = col0 + t * mB + np.arange(nb_)
+        groups.append(BlockGroup(blocks=jnp.asarray(blocks),
+                                 perm_ket=jnp.asarray(perm_ket)))
+        offsets[(mB, mK)] = col0
+        col0 += nS * mB
+    inv_bra[inv_bra < 0] = col0  # zero column: bra K with no ket pair
+    return BlockLadder(groups=tuple(groups),
+                       inv_bra=jnp.asarray(inv_bra, dtype=jnp.int32),
+                       n_bra=n_bra, nv=nv,
+                       w0=float(wtab[tmax, tmax, tmax]))
+
+
+def block_ladder_apply_ij(plan: BlockLadder, T_ijab):
+    """``R_ijpq = Σ_cd V_pqcd T_ijcd`` with T carried ``[i,j,c,d]`` —
+    batched sector matmuls, one output gather.
+
+    Static dims come from array shapes (int NamedTuple fields are pytree
+    leaves and trace to scalars under jit)."""
+    T = jnp.asarray(T_ijab)
+    no2 = T.shape[0] * T.shape[1]
+    nv = T.shape[-1]
+    n_bra = int(round(plan.inv_bra.shape[0] ** 0.5))
+    T2 = T.reshape(no2, nv * nv)
+    cols = [jnp.zeros((no2, 1), T.dtype)]
+    for g in plan.groups:
+        Tg = jnp.take(T2, g.perm_ket.ravel(), axis=1)
+        Tg = Tg.reshape(no2, g.perm_ket.shape[0], g.perm_ket.shape[1])
+        Rg = jnp.einsum("nsk,smk->nsm", Tg, g.blocks)
+        cols.append(Rg.reshape(no2, -1))
+    # concat order must match the builder's offsets (zero col first would
+    # shift them) — so put the zero column LAST
+    R_all = jnp.concatenate(cols[1:] + cols[:1], axis=1)
+    out = jnp.take(R_all, plan.inv_bra, axis=1)
+    return out.reshape(T.shape[0], T.shape[1], n_bra, n_bra)
+
+
+def block_ladder_apply(plan: BlockLadder, T_abij):
+    """abij-layout variant: ``R_pqij = Σ_cd V_pqcd T_cdij``."""
+    T = jnp.asarray(T_abij)
+    no2 = T.shape[2] * T.shape[3]
+    nv = T.shape[0]
+    n_bra = int(round(plan.inv_bra.shape[0] ** 0.5))
+    T2 = T.reshape(nv * nv, no2)
+    rows = []
+    for g in plan.groups:
+        Tg = jnp.take(T2, g.perm_ket.ravel(), axis=0)
+        Tg = Tg.reshape(g.perm_ket.shape[0], g.perm_ket.shape[1], no2)
+        Rg = jnp.einsum("smk,skn->smn", g.blocks, Tg)
+        rows.append(Rg.reshape(-1, no2))
+    rows.append(jnp.zeros((1, no2), T.dtype))
+    R_all = jnp.concatenate(rows, axis=0)
+    out = jnp.take(R_all, plan.inv_bra, axis=0)
+    return out.reshape(n_bra, n_bra, T.shape[2], T.shape[3])
+
+
+def ladder_apply(plan, T_abij, chunk=1):
+    """Dispatch on plan type: gather-scan (:class:`UEGLadder`) or
+    momentum-block matmuls (:class:`BlockLadder`), abij layout."""
+    if isinstance(plan, BlockLadder):
+        return block_ladder_apply(plan, T_abij)
+    return ueg_ladder_apply(plan, T_abij, chunk=chunk)
+
+
+def ladder_apply_ij(plan, T_ijab, chunk=1):
+    """Occupied-leading dispatch (see :func:`ladder_apply`)."""
+    if isinstance(plan, BlockLadder):
+        return block_ladder_apply_ij(plan, T_ijab)
+    return ueg_ladder_apply_ij(plan, T_ijab, chunk=chunk)
+
+
 def build_ovvv_plans(ueg_model, correlator=None, dtype=np.float64,
                      **integral_flags):
     """The three ovvv gather plans the matrix-free CCSD dressing needs
@@ -241,7 +418,7 @@ def dressed_ladder_apply_ij(ladder_all: UEGLadder, T_ai, T_ijab, no,
     ``R_ijab = Σ_cd V̄_abcd T_cdij`` with T2 and the result carried as
     ``[i,j,a,b]`` and the all-bra W as ``W[i,j,p,q]``."""
     if W is None:
-        W = ueg_ladder_apply_ij(ladder_all, T_ijab)
+        W = ladder_apply_ij(ladder_all, T_ijab)
     W_vv = W[:, :, no:, no:]
     W_ov = W[:, :, :no, no:]
     W_vo = W[:, :, no:, :no]
@@ -266,7 +443,7 @@ def dressed_ladder_apply(ladder_all: UEGLadder, T_ai, T_abij, no, W=None):
     for the singles residual).
     """
     if W is None:
-        W = ueg_ladder_apply(ladder_all, T_abij)
+        W = ladder_apply(ladder_all, T_abij)
     W_vv = W[no:, no:]
     W_ov = W[:no, no:]
     W_vo = W[no:, :no]

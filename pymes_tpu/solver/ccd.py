@@ -111,13 +111,13 @@ def doubles_residual(t_fock_ab, t_fock_ij, t_T_abij, blocks: CCDBlocks,
         # with T1 present the plan must be all-bra and the rank-1 bra
         # dressing is applied around the gather (T1-dressed CCSD)
         from pymes_tpu.ops.ueg_ladder import (dressed_ladder_apply,
-                                              ueg_ladder_apply)
+                                              ladder_apply)
         no_ = t_fock_ij.shape[0]
         if t_T_ai is not None:
             R = R + dressed_ladder_apply(V.ladder, t_T_ai, t_T_abij, no_,
                                          W=V.ladder_W)
         else:
-            W = ueg_ladder_apply(V.ladder, t_T_abij)
+            W = ladder_apply(V.ladder, t_T_abij)
             if W.shape[0] != t_T_abij.shape[0]:  # all-bra plan: take vv
                 W = W[no_:, no_:]
             R = R + W
@@ -237,13 +237,13 @@ def doubles_residual_ij(t_fock_ab, t_fock_ij, t_T_ijab, V: CCDBlocksIJ,
         # present the plan must be all-bra and the rank-1 bra dressing is
         # applied around the gather (T1-dressed CCSD)
         from pymes_tpu.ops.ueg_ladder import (dressed_ladder_apply_ij,
-                                              ueg_ladder_apply_ij)
+                                              ladder_apply_ij)
         no_ = t.shape[0]
         if t_T_ai is not None:
             R = R + dressed_ladder_apply_ij(V.ladder, t_T_ai, t, no_,
                                             W=V.ladder_W)
         else:
-            W = ueg_ladder_apply_ij(V.ladder, t)
+            W = ladder_apply_ij(V.ladder, t)
             if W.shape[-1] != t.shape[-1]:  # all-bra plan: take vv corner
                 W = W[:, :, no_:, no_:]
             R = R + W

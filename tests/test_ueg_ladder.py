@@ -164,3 +164,123 @@ def test_ueg_ccsd_fully_matrix_free_no_ovvv():
     res_mf = ccsd_mod.CCSD(no).solve(fock, dict_V, delta_e=1e-10,
                                      max_iter=200, ladder=lad_all)
     assert abs(res_mf["ccsd e"] - res_dense["ccsd e"]) < 1e-9
+
+
+def test_block_ladder_matches_dense_and_solves():
+    """Momentum-block-diagonal ladder (BlockLadder): exact vs dense for
+    Coulomb + hermitian-TC + all-bra, and drives the full matrix-free CCD
+    solve to the same fixed point as the gather plan."""
+    import jax.numpy as jnp
+    from pymes_tpu.ops.ueg_ladder import (build_block_ladder,
+                                          block_ladder_apply,
+                                          block_ladder_apply_ij)
+
+    u = ueg.UEG(14, 7, 7, 1.0)
+    u.init_single_basis(2)
+    V = np.asarray(u.eval_2b_integrals())
+    no = 7
+    nv = u.n_spatial - no
+    rng = np.random.default_rng(3)
+    T = rng.standard_normal((nv, nv, no, no))
+    R_dense = np.einsum("abcd,cdij->abij", V[no:, no:, no:, no:], T)
+
+    bp = build_block_ladder(u)
+    assert np.abs(np.asarray(block_ladder_apply(bp, T))
+                  - R_dense).max() < 1e-12
+    R_ij = np.asarray(block_ladder_apply_ij(bp, T.transpose(2, 3, 0, 1)))
+    assert np.abs(R_ij.transpose(2, 3, 0, 1) - R_dense).max() < 1e-12
+
+    bpa = build_block_ladder(u, bra="all")
+    W_dense = np.einsum("pqcd,cdij->pqij", V[:, :, no:, no:], T)
+    assert np.abs(np.asarray(block_ladder_apply(bpa, T))
+                  - W_dense).max() < 1e-12
+
+    # full CCD solve through the block plan (both layouts)
+    kin = jnp.asarray(u.kinetic_energies())
+    Vj = jnp.asarray(V)
+    eps_i = hf.calcOccupiedOrbE(kin, Vj[:no, :no, :no, :no], no)
+    eps_a = hf.calcVirtualOrbE(kin, Vj[no:, :no, no:, :no],
+                               Vj[no:, :no, :no, no:], no, nv)
+    fock = jnp.diag(jnp.concatenate([eps_i, eps_a]))
+    blocks = ccd.CCDBlocks(
+        klij=Vj[:no, :no, :no, :no], ijab=Vj[:no, :no, no:, no:],
+        abij=Vj[no:, no:, :no, :no], iajb=Vj[:no, no:, :no, no:],
+        iabj=Vj[:no, no:, no:, :no], abcd=None, ladder=bp)
+    from pymes_tpu.solver import mp2
+    _, T0 = mp2.solve(eps_i, eps_a, blocks.ijab, blocks.abij, -1.0)
+    e_ref = None
+    for layout in ("abij", "ijab"):
+        e, *_ = ccd.ccd_solve_jit(fock, blocks, no, T0, level_shift=-1.0,
+                                  delta_e=1e-10, max_iter=80,
+                                  layout=layout)
+        if e_ref is None:
+            e_ref = float(e)
+        else:
+            assert abs(float(e) - e_ref) < 1e-10
+    # against the dense-abcd solve
+    blocks_d = blocks._replace(abcd=Vj[no:, no:, no:, no:], ladder=None)
+    e_d, *_ = ccd.ccd_solve_jit(fock, blocks_d, no, T0, level_shift=-1.0,
+                                delta_e=1e-10, max_iter=80)
+    assert abs(e_ref - float(e_d)) < 1e-10
+
+
+def test_block_ladder_ccsd_dressed():
+    """Matrix-free CCSD through the BlockLadder all-bra plan with nonzero
+    T1 equals the dense CCSD (same setup as the no-ovvv test)."""
+    from pymes_tpu.integral.partition import part_2_body_int
+    from pymes_tpu.solver import ccsd as ccsd_mod
+    from pymes_tpu.ops.ueg_ladder import build_block_ladder
+
+    u = ueg.UEG(14, 7, 7, 1.0)
+    u.init_single_basis(2)
+    V = np.asarray(u.eval_2b_integrals())
+    no = 7
+    fock = np.asarray(hf.construct_hf_matrix(
+        no, np.diag(u.kinetic_energies()), V))
+    rng = np.random.default_rng(5)
+    noise = rng.standard_normal(fock.shape) * 0.02
+    fock = fock + noise + noise.T
+
+    res_dense = ccsd_mod.CCSD(no).solve(fock, V, delta_e=1e-10,
+                                        max_iter=200)
+    dict_V = {k: v for k, v in part_2_body_int(no, V).items()
+              if k not in ("abcd", "abci")}
+    bpa = build_block_ladder(u, bra="all")
+    for layout in ("abij", "ijab"):
+        res_mf = ccsd_mod.CCSD(no).solve(fock, dict_V, delta_e=1e-10,
+                                         max_iter=200, ladder=bpa,
+                                         layout=layout)
+        assert abs(res_mf["ccsd e"] - res_dense["ccsd e"]) < 1e-9
+
+
+def test_no_momentum_violating_integrals_cutoff10():
+    """Regression for the flat-lookup aliasing bug inherited from the
+    reference (``ueg.py:234-243,397-407``: only the flattened index range
+    is checked, so out-of-range k components wrap into neighbouring grid
+    rows): at cutoff 10 the reference-compatible lookup yields 16
+    momentum-VIOLATING nonzeros (e.g. V[40,121,118,118] with
+    k_p+k_q=(-1,5,0) vs k_r+k_s=(0,-6,0)), which made the gather/dense
+    paths disagree with the physically exact BlockLadder by ~1e-5 Ha at
+    nP=219.  With per-component bounds in ``UEG._lookup_flat`` there are
+    none, and gather == block == dense."""
+    u = ueg.UEG(14, 7, 7, 0.5)
+    u.init_single_basis(10)
+    V = np.asarray(u.eval_2b_integrals())
+    k = np.asarray(u.basis.k_int)
+    Kpq = k[:, None, :] + k[None, :, :]
+    nz = np.argwhere(np.abs(V) > 1e-300)
+    p, q, r, s = nz.T
+    viol = np.abs(Kpq[p, q] - Kpq[r, s]).max(axis=1) > 0
+    assert int(viol.sum()) == 0
+
+    from pymes_tpu.ops.ueg_ladder import (build_block_ladder,
+                                          block_ladder_apply)
+    no = 7
+    nv = u.n_spatial - no
+    rng = np.random.default_rng(0)
+    T = rng.standard_normal((nv, nv, no, no))
+    R_dense = np.einsum("abcd,cdij->abij", V[no:, no:, no:, no:], T)
+    gp = build_ueg_ladder(u)
+    bp = build_block_ladder(u)
+    assert np.abs(np.asarray(ueg_ladder_apply(gp, T)) - R_dense).max() < 1e-12
+    assert np.abs(np.asarray(block_ladder_apply(bp, T)) - R_dense).max() < 1e-12
