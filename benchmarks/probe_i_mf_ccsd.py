@@ -18,7 +18,8 @@ import jax.numpy as jnp
 from pymes_tpu.models import ueg
 from pymes_tpu.mean_field import hf
 from pymes_tpu.solver import ccsd as ccsd_mod
-from pymes_tpu.ops.ueg_ladder import build_ueg_ladder
+from pymes_tpu.ops.ueg_ladder import (build_ueg_ladder,
+                                      build_block_ladder)
 from pymes_tpu.log import set_verbosity
 
 set_verbosity(-1)
@@ -33,7 +34,9 @@ u.init_single_basis(cutoff)
 idx, vals = u.eval_2b_integrals(sp=2)
 n_p, no = u.n_spatial, 7
 nv = n_p - no
-lad_all = build_ueg_ladder(u, bra="all")
+lad_all = (build_ueg_ladder(u, bra="all")
+           if os.environ.get("MF_PLAN") == "gather"
+           else build_block_ladder(u, bra="all"))
 from pymes_tpu.ops.ueg_ladder import build_ovvv_plans
 plans = build_ovvv_plans(u)
 print(f"cutoff={cutoff}: nP={n_p} gen={time.time()-t0:.1f}s", flush=True)
@@ -56,7 +59,8 @@ try:
         fock, dict_V, no, jnp.zeros((nv, no)),
         jnp.zeros((nv, nv, no, no)), level_shift=-1.0, delta_e=1e-8,
         max_iter=int(os.environ.get("MF_ITERS", 40)), ladder_all=lad_all,
-        contract_mode=os.environ.get('MF_MODE', 'ozaki:7:6'))
+        contract_mode=os.environ.get('MF_MODE', 'ozaki:7:6'),
+        layout=os.environ.get('MF_LAYOUT', 'ijab'))
     e, n = float(out[0]), int(out[4])
     print(f"  mf-ccsd warm: e={e:.10f} iters={n} "
           f"wall={time.time()-t0:.1f}s", flush=True)
@@ -65,7 +69,8 @@ try:
         fock, dict_V, no, jnp.zeros((nv, no)),
         jnp.zeros((nv, nv, no, no)), level_shift=-1.0, delta_e=1e-8,
         max_iter=int(os.environ.get("MF_ITERS", 40)), ladder_all=lad_all,
-        contract_mode=os.environ.get('MF_MODE', 'ozaki:7:6'))
+        contract_mode=os.environ.get('MF_MODE', 'ozaki:7:6'),
+        layout=os.environ.get('MF_LAYOUT', 'ijab'))
     n = int(out[4])
     print(f"  mf-ccsd timed: {(time.time()-t0)/n*1e3:.0f} ms/iter",
           flush=True)

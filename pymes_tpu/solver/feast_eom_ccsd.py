@@ -44,7 +44,7 @@ def normalize_amps(u_singles, u_doubles):
 
 def _shifted_solve_impl(f, dict_t_V, T2, b_pair, z_pair, diag_vec, no, nv,
                         is_rt=False, dt=0.0, ls_max_iter=20, restart=20,
-                        ls_conv_tol=1e-4, hbar=None):
+                        ls_conv_tol=1e-4, hbar=None, contract_mode="xla"):
     """Solve (z − H̄)x = b (or (z − i·dt·H̄)x = b for RT) with diagonal-
     preconditioned GMRES, everything on device.
 
@@ -65,8 +65,10 @@ def _shifted_solve_impl(f, dict_t_V, T2, b_pair, z_pair, diag_vec, no, nv,
         u1 = x[:n1].reshape(nv, no)
         u2 = x[n1:].reshape(nv, nv, no, no)
         if hbar is not None:  # factorized sigma: T2 pieces precontracted
-            w1 = sigma_singles_hbar(f, dict_t_V, hbar, u1, u2, T2)
-            w2 = sigma_doubles_hbar(f, dict_t_V, hbar, u1, u2, T2)
+            w1 = sigma_singles_hbar(f, dict_t_V, hbar, u1, u2, T2,
+                                    contract_mode=contract_mode)
+            w2 = sigma_doubles_hbar(f, dict_t_V, hbar, u1, u2, T2,
+                                    contract_mode=contract_mode)
         else:
             w1 = sigma_singles(f, dict_t_V, u1, u2, T2)
             w2 = sigma_doubles(f, dict_t_V, u1, u2, T2)
@@ -103,16 +105,18 @@ def _shifted_solve_impl(f, dict_t_V, T2, b_pair, z_pair, diag_vec, no, nv,
 
 
 _shifted_solve = partial(jax.jit, static_argnames=(
-    "no", "nv", "is_rt", "ls_max_iter", "restart"))(_shifted_solve_impl)
+    "no", "nv", "is_rt", "ls_max_iter", "restart",
+    "contract_mode"))(_shifted_solve_impl)
 
 def _nodes_impl(f, dict_t_V, T2, b_pair, z_pairs, diag_vec, no, nv,
                 is_rt=False, dt=0.0, ls_max_iter=20, ls_conv_tol=1e-4,
-                hbar=None):
+                hbar=None, contract_mode="xla"):
     def one(z_pair):
         return _shifted_solve_impl(f, dict_t_V, T2, b_pair, z_pair,
                                    diag_vec, no, nv, is_rt=is_rt, dt=dt,
                                    ls_max_iter=ls_max_iter,
-                                   ls_conv_tol=ls_conv_tol, hbar=hbar)
+                                   ls_conv_tol=ls_conv_tol, hbar=hbar,
+                                   contract_mode=contract_mode)
 
     return jax.vmap(one)(z_pairs)
 
@@ -123,7 +127,7 @@ def _nodes_impl(f, dict_t_V, T2, b_pair, z_pairs, diag_vec, no, nv,
 # device mesh axis via ``node_mesh`` in multi-chip runs, each device
 # owning n_quad/n_dev independent GMRES solves)
 _shifted_solve_nodes = partial(jax.jit, static_argnames=(
-    "no", "nv", "is_rt", "ls_max_iter"))(_nodes_impl)
+    "no", "nv", "is_rt", "ls_max_iter", "contract_mode"))(_nodes_impl)
 
 
 class FEAST_EOM_CCSD(EOM_CCSD):
@@ -164,10 +168,15 @@ class FEAST_EOM_CCSD(EOM_CCSD):
                                       jnp.asarray(u2), T2))
         return w1, w2
 
+    def _cm(self):
+        from pymes_tpu.ops import contract as _ct
+        return getattr(self, "contract_mode", None) or _ct.get_mode()
+
     def _get_hbar(self, f, dict_t_V, T2):
         """Factorized-sigma intermediates, built once per (f, V, T2)."""
         if getattr(self, "_hbar", None) is None:
-            self._hbar = build_hbar(f, dict_t_V, T2)
+            self._hbar = build_hbar(f, dict_t_V, T2,
+                                    contract_mode=self._cm())
         return self._hbar
 
     def _warn_unconverged(self, rel_res):
@@ -196,7 +205,8 @@ class FEAST_EOM_CCSD(EOM_CCSD):
             f, dict_t_V, T2, b_pair, z_pair, jnp.asarray(diag_vec),
             self.no, nv, is_rt=is_rt, dt=dt,
             ls_max_iter=self.ls_max_iter, ls_conv_tol=self.ls_conv_tol,
-            hbar=self._get_hbar(f, dict_t_V, T2))
+            hbar=self._get_hbar(f, dict_t_V, T2),
+            contract_mode=self._cm())
         self._warn_unconverged(rel_res)
         return np.asarray(xr) + 1j * np.asarray(xi)
 
@@ -226,7 +236,8 @@ class FEAST_EOM_CCSD(EOM_CCSD):
         (xr, xi), rel_res = _shifted_solve_nodes(
             f, dict_t_V, T2, b_pair, z_pairs, diag, self.no, nv,
             ls_max_iter=self.ls_max_iter, ls_conv_tol=self.ls_conv_tol,
-            hbar=self._get_hbar(f, dict_t_V, T2))
+            hbar=self._get_hbar(f, dict_t_V, T2),
+            contract_mode=self._cm())
         self._warn_unconverged(rel_res)
         return np.asarray(xr) + 1j * np.asarray(xi)
 

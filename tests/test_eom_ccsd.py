@@ -140,3 +140,32 @@ def test_hbar_factorized_sigma_equals_term_list():
     w2b = np.asarray(eom_ccsd.sigma_doubles_hbar(f, dV, hb, u1, u2, T))
     assert np.abs(w1a - w1b).max() < 1e-12 * np.abs(w1a).max()
     assert np.abs(w2a - w2b).max() < 1e-12 * np.abs(w2a).max()
+
+
+def test_hbar_sigma_ozaki_mode_matches_xla():
+    """The integer-MXU (ozaki) contraction backend through the factorized
+    sigma agrees with the xla backend to f64-class accuracy — sizes above
+    the ozaki dispatch threshold so the int8 path actually runs."""
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(1)
+    no, nv = 4, 100
+    nb = no + nv
+    f = jnp.asarray(rng.standard_normal((nb, nb)))
+    V = rng.standard_normal((nb,) * 4) * 0.1
+    dV = part_2_body_int(no, jnp.asarray(V))
+    T = jnp.asarray(rng.standard_normal((nv, nv, no, no)) * 0.05)
+    u1 = jnp.asarray(rng.standard_normal((nv, no)))
+    u2 = jnp.asarray(rng.standard_normal((nv, nv, no, no)))
+
+    outs = {}
+    for mode in ("xla", "ozaki:9:9"):
+        hb = eom_ccsd.build_hbar(f, dV, T, contract_mode=mode)
+        w1 = np.asarray(eom_ccsd.sigma_singles_hbar(
+            f, dV, hb, u1, u2, T, contract_mode=mode))
+        w2 = np.asarray(eom_ccsd.sigma_doubles_hbar(
+            f, dV, hb, u1, u2, T, contract_mode=mode))
+        outs[mode] = (w1, w2)
+    for i in range(2):
+        a, b = outs["xla"][i], outs["ozaki:9:9"][i]
+        assert np.abs(a - b).max() < 1e-11 * max(np.abs(a).max(), 1.0)
