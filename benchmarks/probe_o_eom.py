@@ -52,14 +52,24 @@ Vd = {k: d[k] for k in ('klij', 'ijab', 'abij', 'iajb', 'iabj', 'ijka',
                         'ijak', 'iajk', 'iabc', 'abic')}
 Vd["abcd"] = None
 
-for tag, plan, mode in (("block+ozaki", bp, "ozaki:7:6"),
-                        ("gather+xla (round1)", build_ueg_ladder(u), "xla")):
-    Vmf = dict(Vd)
+from pymes_tpu.ops.ueg_ladder import build_ovvv_plans
+
+bpa = build_block_ladder(u, bra="all")
+Vd_noovvv = {k: v for k, v in Vd.items() if k not in ("iabc", "abic")}
+Vd_noovvv["_ovvv_plans"] = build_ovvv_plans(u)
+
+for tag, V0, plan, mode in (
+        ("block+ozaki", Vd, bp, "ozaki:7:6"),
+        ("block+ozaki NO-OVVV", Vd_noovvv, bpa, "ozaki:7:6"),
+        ("gather+xla (round1)", Vd, build_ueg_ladder(u), "xla")):
+    Vmf = dict(V0)
     Vmf["abcd_ladder"] = plan
-    dav = eom_ccsd.EOM_CCSD(no, n_excit=2)
-    dav.max_iter = 300
-    dav.contract_mode = mode
-    t0 = time.time()
-    e = np.sort(dav.solve(fock, Vmf, T2))
-    print(f"EOM[{tag}]: wall={time.time()-t0:.1f}s roots={e}", flush=True)
+    for run in ("cold", "warm"):
+        dav = eom_ccsd.EOM_CCSD(no, n_excit=2)
+        dav.max_iter = 300
+        dav.contract_mode = mode
+        t0 = time.time()
+        e = np.sort(dav.solve(fock, Vmf, T2))
+        print(f"EOM[{tag}|{run}]: wall={time.time()-t0:.1f}s roots={e}",
+              flush=True)
 print("PROBE O DONE", flush=True)

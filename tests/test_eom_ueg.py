@@ -114,3 +114,53 @@ def test_matrix_free_sigma_t1_dressed():
     del Vd_bare["abcd_t1"]
     _, W2c = dav._batched_sigma(fd, Vd_bare, U1, U2, res["t2"])
     assert np.abs(np.asarray(W2a) - np.asarray(W2c)).max() > 1e-6
+
+
+def test_matrix_free_sigma_no_ovvv_blocks():
+    """EOM sigma with NO ovvv blocks at all: the <ov|vv>-class terms run
+    as OVVV momentum gathers + all-bra ladder corners (same machinery as
+    matrix-free CCSD).  Exact vs the dense-block factorized sigma at the
+    Γ-point (T1 = 0, so undressed blocks are the dressed ones)."""
+    import jax.numpy as jnp
+    from pymes_tpu.ops.ueg_ladder import (build_block_ladder,
+                                          build_ovvv_plans)
+    from pymes_tpu.solver import ccd, mp2
+    from pymes_tpu.mean_field import hf as hf_mod
+
+    u = ueg.UEG(14, 7, 7, 1.0)
+    u.init_single_basis(2)
+    V = np.asarray(u.eval_2b_integrals())
+    no = 7
+    nv = u.n_spatial - no
+    fock = np.asarray(hf_mod.construct_hf_matrix(
+        no, np.diag(u.kinetic_energies()), V))
+    dict_V = part_2_body_int(no, jnp.asarray(V))
+    eps = np.diag(fock)
+    _, T2 = mp2.solve(jnp.asarray(eps[:no]), jnp.asarray(eps[no:]),
+                      dict_V["ijab"], dict_V["abij"], 0.0)
+
+    rng = np.random.default_rng(6)
+    U1 = rng.standard_normal((2, nv, no))
+    U2 = rng.standard_normal((2, nv, nv, no, no))
+
+    dav = eom_ccsd.EOM_CCSD(no, n_excit=2)
+    W1a, W2a = dav._batched_sigma(jnp.asarray(fock), dict_V, U1, U2, T2)
+
+    V_mf = {k: v for k, v in dict_V.items()
+            if k not in ("abcd", "iabc", "abic", "aibc", "abci", "aibj",
+                         "aijb", "iajb_", "ijba")}
+    V_mf.pop("iabc", None)
+    V_mf["abcd_ladder"] = build_block_ladder(u, bra="all")
+    V_mf["_ovvv_plans"] = build_ovvv_plans(u)
+    dav2 = eom_ccsd.EOM_CCSD(no, n_excit=2)
+    W1b, W2b = dav2._batched_sigma(jnp.asarray(fock), V_mf, U1, U2, T2)
+    assert np.abs(np.asarray(W1a) - np.asarray(W1b)).max() < 1e-11
+    assert np.abs(np.asarray(W2a) - np.asarray(W2b)).max() < 1e-11
+
+    # gather-plan variant of the same mode
+    from pymes_tpu.ops.ueg_ladder import build_ueg_ladder
+    V_mf["abcd_ladder"] = build_ueg_ladder(u, bra="all")
+    dav3 = eom_ccsd.EOM_CCSD(no, n_excit=2)
+    W1c, W2c = dav3._batched_sigma(jnp.asarray(fock), V_mf, U1, U2, T2)
+    assert np.abs(np.asarray(W1a) - np.asarray(W1c)).max() < 1e-11
+    assert np.abs(np.asarray(W2a) - np.asarray(W2c)).max() < 1e-11
