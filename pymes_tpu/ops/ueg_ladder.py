@@ -387,6 +387,44 @@ def block_ladder_apply(plan: BlockLadder, T_abij):
     return out.reshape(n_bra, n_bra, T.shape[2], T.shape[3])
 
 
+def preslice_block_ladder(plan: BlockLadder, n_slices=7):
+    """Ozaki-preslice every sector block (loop-invariant, once per plan):
+    returns a tuple over groups of ``(slices, exps)`` from
+    ``vmap(slice_rows)`` over the sector axis."""
+    from pymes_tpu.ops import ozaki
+    return tuple(jax.vmap(lambda b: ozaki.slice_rows(b, n_slices))(g.blocks)
+                 for g in plan.groups)
+
+
+def block_ladder_apply_ij_ozaki(plan: BlockLadder, T_ijab, presliced,
+                                t_cutoff=6):
+    """ij-layout block ladder with the sector matmuls on the integer MXU
+    (:mod:`pymes_tpu.ops.ozaki`): per sector ``C = B_s · X_s`` with the
+    loop-invariant B slices from :func:`preslice_block_ladder` and the
+    gathered amplitudes sliced per call.  ~f64-exact for the default
+    slice counts (sector K ≤ a few hundred ≪ the int32 headroom)."""
+    from pymes_tpu.ops import ozaki
+    T = jnp.asarray(T_ijab)
+    no2 = T.shape[0] * T.shape[1]
+    nv = T.shape[-1]
+    n_bra = int(round(plan.inv_bra.shape[0] ** 0.5))
+    T2 = T.reshape(no2, nv * nv)
+    rows = []
+    for g, (sb, eb) in zip(plan.groups, presliced):
+        nS, mK = g.perm_ket.shape
+        Tg = jnp.take(T2, g.perm_ket.ravel(), axis=1)
+        X = Tg.reshape(no2, nS, mK).transpose(1, 2, 0)     # (nS, mK, no2)
+        sx, ex = jax.vmap(
+            lambda x: ozaki.slice_cols(x, sb.shape[1]))(X)
+        C = jax.vmap(lambda a, ea_, b, eb_: ozaki.matmul_presliced(
+            a, ea_, b, eb_, t_cutoff=t_cutoff))(sb, eb, sx, ex)
+        rows.append(C.reshape(-1, no2))
+    rows.append(jnp.zeros((1, no2), T.dtype))
+    R_all = jnp.concatenate(rows, axis=0)
+    out = jnp.take(R_all, plan.inv_bra, axis=0)            # (n_bra^2, no2)
+    return out.T.reshape(T.shape[0], T.shape[1], n_bra, n_bra)
+
+
 def ladder_apply(plan, T_abij, chunk=1):
     """Dispatch on plan type: gather-scan (:class:`UEGLadder`) or
     momentum-block matmuls (:class:`BlockLadder`), abij layout."""

@@ -188,6 +188,8 @@ class CCDBlocksIJ(NamedTuple):
     abcd: jnp.ndarray    # dense ladder block (may be None with presliced)
     ladder: object = None    # optional matrix-free UEGLadder plan
     ladder_W: object = None  # optional precomputed all-bra W[i,j,p,q]
+    ladder_presliced: object = None  # optional ozaki slices of the
+    #   BlockLadder sector blocks (preslice_block_ladder)
 
 
 def blocks_ij_from(blocks: CCDBlocks):
@@ -236,12 +238,20 @@ def doubles_residual_ij(t_fock_ab, t_fock_ij, t_T_ijab, V: CCDBlocksIJ,
         # matrix-free UEG ladder in the occupied-leading layout; with T1
         # present the plan must be all-bra and the rank-1 bra dressing is
         # applied around the gather (T1-dressed CCSD)
-        from pymes_tpu.ops.ueg_ladder import (dressed_ladder_apply_ij,
+        from pymes_tpu.ops.ueg_ladder import (block_ladder_apply_ij_ozaki,
+                                              dressed_ladder_apply_ij,
                                               ladder_apply_ij)
         no_ = t.shape[0]
         if t_T_ai is not None:
             R = R + dressed_ladder_apply_ij(V.ladder, t_T_ai, t, no_,
                                             W=V.ladder_W)
+        elif V.ladder_presliced is not None:
+            opts = _ct.parse_mode(cm) or (9, 9)
+            W = block_ladder_apply_ij_ozaki(V.ladder, t, V.ladder_presliced,
+                                            t_cutoff=opts[1])
+            if W.shape[-1] != t.shape[-1]:  # all-bra plan: take vv corner
+                W = W[:, :, no_:, no_:]
+            R = R + W
         else:
             W = ladder_apply_ij(V.ladder, t)
             if W.shape[-1] != t.shape[-1]:  # all-bra plan: take vv corner
@@ -381,6 +391,14 @@ def ccd_solve_jit(t_fock_pq, blocks: CCDBlocks, no, t_T0_abij,
         V_ij = blocks_ij_from(blocks)
         if abcd_presliced is not None:
             V_ij = V_ij._replace(abcd=None)  # keep only the sliced form
+        if (blocks.ladder is not None
+                and _ct.parse_mode(contract_mode) is not None):
+            from pymes_tpu.ops.ueg_ladder import (BlockLadder,
+                                                  preslice_block_ladder)
+            if isinstance(blocks.ladder, BlockLadder):
+                # loop-invariant: sector blocks onto the integer MXU
+                V_ij = V_ij._replace(ladder_presliced=preslice_block_ladder(
+                    blocks.ladder, _ct.parse_mode(contract_mode)[0]))
         t_T0 = jnp.transpose(t_T0_abij, (2, 3, 0, 1))
         e0_dir, e0_exc = ccd_energy_ij(t_T0, V_ij.ijab, V_ij.ijab_x)
     else:

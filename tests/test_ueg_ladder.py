@@ -222,6 +222,11 @@ def test_block_ladder_matches_dense_and_solves():
     e_d, *_ = ccd.ccd_solve_jit(fock, blocks_d, no, T0, level_shift=-1.0,
                                 delta_e=1e-10, max_iter=80)
     assert abs(e_ref - float(e_d)) < 1e-10
+    # ozaki block path (sector matmuls on the integer MXU)
+    e_oz, *_ = ccd.ccd_solve_jit(fock, blocks, no, T0, level_shift=-1.0,
+                                 delta_e=1e-10, max_iter=80,
+                                 contract_mode="ozaki:9:9", layout="ijab")
+    assert abs(e_ref - float(e_oz)) < 1e-9
 
 
 def test_block_ladder_ccsd_dressed():
