@@ -251,6 +251,10 @@ class BlockLadder(NamedTuple):
     n_bra: int
     nv: int
     w0: float = 0.0      # zero-transfer weight w(q=0) (diagonal V_abab)
+    presliced: object = None  # optional ozaki int8 slices of the sector
+    #   blocks (see preslice_block_ladder) — when present, the apply
+    #   functions run the sector matmuls on the integer MXU (f64-exact
+    #   at the default 9 slices, ~faster than XLA's emulated-f64 bmm)
 
 
 def _pad_to(m):
@@ -262,10 +266,15 @@ def _pad_to(m):
 
 
 def build_block_ladder(ueg_model, correlator=None, dtype=np.float64,
-                       bra="virtual", **integral_flags):
+                       bra="virtual", preslice=9, **integral_flags):
     """Build a :class:`BlockLadder` (same weight classes as
     :func:`build_ueg_ladder`; exact vs the dense block,
-    ``tests/test_ueg_ladder.py``)."""
+    ``tests/test_ueg_ladder.py``).
+
+    ``preslice`` (int or None): attach ozaki int8 slices of the sector
+    blocks so applications run on the integer MXU; 9 slices reconstruct
+    full f64.  ``None`` keeps the XLA emulated-f64 batched matmuls.
+    """
     no = ueg_model.n_ele // 2
     n_p = ueg_model.n_spatial
     nv = n_p - no
@@ -338,10 +347,14 @@ def build_block_ladder(ueg_model, correlator=None, dtype=np.float64,
         offsets[(mB, mK)] = col0
         col0 += nS * mB
     inv_bra[inv_bra < 0] = col0  # zero column: bra K with no ket pair
-    return BlockLadder(groups=tuple(groups),
+    plan = BlockLadder(groups=tuple(groups),
                        inv_bra=jnp.asarray(inv_bra, dtype=jnp.int32),
                        n_bra=n_bra, nv=nv,
                        w0=float(wtab[tmax, tmax, tmax]))
+    if preslice:
+        plan = plan._replace(
+            presliced=preslice_block_ladder(plan, int(preslice)))
+    return plan
 
 
 def block_ladder_apply_ij(plan: BlockLadder, T_ijab):
@@ -350,6 +363,8 @@ def block_ladder_apply_ij(plan: BlockLadder, T_ijab):
 
     Static dims come from array shapes (int NamedTuple fields are pytree
     leaves and trace to scalars under jit)."""
+    if plan.presliced is not None:
+        return block_ladder_apply_ij_ozaki(plan, T_ijab, plan.presliced)
     T = jnp.asarray(T_ijab)
     no2 = T.shape[0] * T.shape[1]
     nv = T.shape[-1]
@@ -370,6 +385,8 @@ def block_ladder_apply_ij(plan: BlockLadder, T_ijab):
 
 def block_ladder_apply(plan: BlockLadder, T_abij):
     """abij-layout variant: ``R_pqij = Σ_cd V_pqcd T_cdij``."""
+    if plan.presliced is not None:
+        return block_ladder_apply_ab_ozaki(plan, T_abij)
     T = jnp.asarray(T_abij)
     no2 = T.shape[2] * T.shape[3]
     nv = T.shape[0]
@@ -396,33 +413,65 @@ def preslice_block_ladder(plan: BlockLadder, n_slices=7):
                  for g in plan.groups)
 
 
-def block_ladder_apply_ij_ozaki(plan: BlockLadder, T_ijab, presliced,
-                                t_cutoff=6):
+def _block_ozaki_rows(plan, Xs_per_group, no2, dtype, t_cutoff):
+    """Shared core: sector matmuls ``C_s = B_s · X_s`` on the integer MXU,
+    output gathered through the inverse bra-pair permutation.
+    ``Xs_per_group[g]``: (nS, mK, no2) gathered amplitudes."""
+    from pymes_tpu.ops import ozaki
+    rows = []
+    for (sb, eb), X in zip(plan.presliced, Xs_per_group):
+        sx, ex = jax.vmap(lambda x: ozaki.slice_cols(x, sb.shape[1]))(X)
+        C = jax.vmap(lambda a, ea_, b, eb_: ozaki.matmul_presliced(
+            a, ea_, b, eb_, t_cutoff=t_cutoff))(sb, eb, sx, ex)
+        rows.append(C.reshape(-1, no2))
+    rows.append(jnp.zeros((1, no2), dtype))
+    R_all = jnp.concatenate(rows, axis=0)
+    return jnp.take(R_all, plan.inv_bra, axis=0)           # (n_bra^2, no2)
+
+
+def block_ladder_apply_ij_ozaki(plan: BlockLadder, T_ijab, presliced=None,
+                                t_cutoff=None):
     """ij-layout block ladder with the sector matmuls on the integer MXU
     (:mod:`pymes_tpu.ops.ozaki`): per sector ``C = B_s · X_s`` with the
     loop-invariant B slices from :func:`preslice_block_ladder` and the
-    gathered amplitudes sliced per call.  ~f64-exact for the default
-    slice counts (sector K ≤ a few hundred ≪ the int32 headroom)."""
-    from pymes_tpu.ops import ozaki
+    gathered amplitudes sliced per call.  f64-exact for the default
+    slice counts (sector K ≤ a few hundred ≪ the int32 headroom; the
+    stacked fast path reconstructs all slice pairs)."""
+    if presliced is not None and plan.presliced is None:
+        plan = plan._replace(presliced=presliced)
+    if t_cutoff is None:
+        t_cutoff = 2 * plan.presliced[0][0].shape[1] - 2
     T = jnp.asarray(T_ijab)
     no2 = T.shape[0] * T.shape[1]
     nv = T.shape[-1]
     n_bra = int(round(plan.inv_bra.shape[0] ** 0.5))
     T2 = T.reshape(no2, nv * nv)
-    rows = []
-    for g, (sb, eb) in zip(plan.groups, presliced):
+    Xs = []
+    for g in plan.groups:
         nS, mK = g.perm_ket.shape
         Tg = jnp.take(T2, g.perm_ket.ravel(), axis=1)
-        X = Tg.reshape(no2, nS, mK).transpose(1, 2, 0)     # (nS, mK, no2)
-        sx, ex = jax.vmap(
-            lambda x: ozaki.slice_cols(x, sb.shape[1]))(X)
-        C = jax.vmap(lambda a, ea_, b, eb_: ozaki.matmul_presliced(
-            a, ea_, b, eb_, t_cutoff=t_cutoff))(sb, eb, sx, ex)
-        rows.append(C.reshape(-1, no2))
-    rows.append(jnp.zeros((1, no2), T.dtype))
-    R_all = jnp.concatenate(rows, axis=0)
-    out = jnp.take(R_all, plan.inv_bra, axis=0)            # (n_bra^2, no2)
+        Xs.append(Tg.reshape(no2, nS, mK).transpose(1, 2, 0))
+    out = _block_ozaki_rows(plan, Xs, no2, T.dtype, t_cutoff)
     return out.T.reshape(T.shape[0], T.shape[1], n_bra, n_bra)
+
+
+def block_ladder_apply_ab_ozaki(plan: BlockLadder, T_abij, t_cutoff=None):
+    """abij-layout integer-MXU block ladder (no layout transposes: the
+    ket-pair gather runs on axis 0 of the (nv², no²) amplitudes)."""
+    if t_cutoff is None:
+        t_cutoff = 2 * plan.presliced[0][0].shape[1] - 2
+    T = jnp.asarray(T_abij)
+    no2 = T.shape[2] * T.shape[3]
+    nv = T.shape[0]
+    n_bra = int(round(plan.inv_bra.shape[0] ** 0.5))
+    T2 = T.reshape(nv * nv, no2)
+    Xs = []
+    for g in plan.groups:
+        nS, mK = g.perm_ket.shape
+        Xs.append(jnp.take(T2, g.perm_ket.ravel(),
+                           axis=0).reshape(nS, mK, no2))
+    out = _block_ozaki_rows(plan, Xs, no2, T.dtype, t_cutoff)
+    return out.reshape(n_bra, n_bra, T.shape[2], T.shape[3])
 
 
 def ladder_apply(plan, T_abij, chunk=1):

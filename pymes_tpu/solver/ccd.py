@@ -395,8 +395,10 @@ def ccd_solve_jit(t_fock_pq, blocks: CCDBlocks, no, t_T0_abij,
                 and _ct.parse_mode(contract_mode) is not None):
             from pymes_tpu.ops.ueg_ladder import (BlockLadder,
                                                   preslice_block_ladder)
-            if isinstance(blocks.ladder, BlockLadder):
-                # loop-invariant: sector blocks onto the integer MXU
+            if (isinstance(blocks.ladder, BlockLadder)
+                    and blocks.ladder.presliced is None):
+                # plan built without slices: put the loop-invariant
+                # sector blocks onto the integer MXU here
                 V_ij = V_ij._replace(ladder_presliced=preslice_block_ladder(
                     blocks.ladder, _ct.parse_mode(contract_mode)[0]))
         t_T0 = jnp.transpose(t_T0_abij, (2, 3, 0, 1))
@@ -572,8 +574,12 @@ class CCD:
 
         if mixed_precision and t_T_abij.dtype == jnp.float64:
             f32 = jnp.float32
+            # cast only f64 leaves: ladder plans carry int32 gather
+            # indices / int8 ozaki slices / python-float weights
             blocks32 = jax.tree_util.tree_map(
-                lambda x: None if x is None else x.astype(f32), blocks)
+                lambda x: x.astype(f32)
+                if (hasattr(x, "dtype") and x.dtype == jnp.float64)
+                else x, blocks)
             _, T32, _, _, _, it32, _ = ccd_solve_jit(
                 t_fock_pq.astype(f32), blocks32, int(no),
                 t_T_abij.astype(f32), level_shift=level_shift,
