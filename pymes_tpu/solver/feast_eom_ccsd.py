@@ -93,9 +93,25 @@ def _shifted_solve_impl(f, dict_t_V, T2, b_pair, z_pair, diag_vec, no, nv,
         xr, xi = pair
         return (m_r * xr - m_i * xi, m_r * xi + m_i * xr)
 
-    x, _ = jax.scipy.sparse.linalg.gmres(
-        matvec, b_pair, tol=ls_conv_tol, atol=0.0, restart=restart,
-        maxiter=ls_max_iter, M=precond, solve_method="batched")
+    # in-house restarted GMRES (ops/gmres.py): jax.scipy's wraps the
+    # operator in lax.custom_linear_solve, which rejects linear operators
+    # built from non-linear primitives (the integer-MXU sigma path)
+    from pymes_tpu.ops.gmres import gmres as _gmres
+    n_half = b_pair[0].shape[0]
+    b_flat = jnp.concatenate(b_pair)
+
+    def mv_flat(v):
+        out = matvec((v[:n_half], v[n_half:]))
+        return jnp.concatenate(out)
+
+    def prec_flat(v):
+        out = precond((v[:n_half], v[n_half:]))
+        return jnp.concatenate(out)
+
+    x_flat, _ = _gmres(mv_flat, b_flat, precond=prec_flat,
+                       tol=ls_conv_tol, restart=restart,
+                       max_outer=ls_max_iter)
+    x = (x_flat[:n_half], x_flat[n_half:])
     rr, ri = matvec(x)
     rr = rr - b_pair[0]
     ri = ri - b_pair[1]
@@ -162,10 +178,17 @@ class FEAST_EOM_CCSD(EOM_CCSD):
 
     # matvec application for projected matrices; overridable for fake Hams
     def _apply_H(self, f, dict_t_V, u1, u2, T2):
-        w1 = np.asarray(sigma_singles(f, dict_t_V, jnp.asarray(u1),
-                                      jnp.asarray(u2), T2))
-        w2 = np.asarray(sigma_doubles(f, dict_t_V, jnp.asarray(u1),
-                                      jnp.asarray(u2), T2))
+        # factorized-sigma path: handles the no-ovvv dict (gather plans
+        # instead of iabc/abic blocks), which the legacy term-list sigma
+        # cannot
+        hbar = self._get_hbar(f, dict_t_V, T2)
+        cm = self._cm()
+        w1 = np.asarray(sigma_singles_hbar(f, dict_t_V, hbar,
+                                           jnp.asarray(u1), jnp.asarray(u2),
+                                           T2, contract_mode=cm))
+        w2 = np.asarray(sigma_doubles_hbar(f, dict_t_V, hbar,
+                                           jnp.asarray(u1), jnp.asarray(u2),
+                                           T2, contract_mode=cm))
         return w1, w2
 
     def _cm(self):

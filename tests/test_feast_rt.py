@@ -299,3 +299,44 @@ def test_feast_node_mesh_sharding():
     solver.ls_max_iter = 50
     eigvals = solver.solve(fd, Vd, res["t2"])
     assert np.min(np.abs(np.real(eigvals) - e_dav)) < 1e-5
+
+
+def test_feast_ueg_no_ovvv_matches_dense():
+    """FEAST window root on the Γ-point UEG through the NO-OVVV sigma
+    (block ladder + OVVV gathers, no nv³no block) equals the dense-dict
+    FEAST root."""
+    from pymes_tpu.models import ueg
+    from pymes_tpu.ops.ueg_ladder import (build_block_ladder,
+                                          build_ovvv_plans)
+
+    u = ueg.UEG(14, 7, 7, 1.0)
+    u.init_single_basis(2)
+    no = 7
+    V = np.asarray(u.eval_2b_integrals())
+    fock = np.asarray(hf.construct_hf_matrix(
+        no, np.diag(u.kinetic_energies()), V))
+    mycc = ccsd.CCSD(no)
+    res = mycc.solve(fock, V, delta_e=1e-11, max_iter=100)
+    dict_V = part_2_body_int(no, V)
+
+    dav = eom_ccsd.EOM_CCSD(no, n_excit=1)
+    dav.max_iter = 1000
+    e0 = float(np.real(dav.solve(fock, dict_V, res["t2"])[0]))
+
+    V_mf = {k: v for k, v in dict_V.items()
+            if k not in ("abcd", "iabc", "abic")}
+    V_mf["abcd_ladder"] = build_block_ladder(u, bra="all")
+    V_mf["_ovvv_plans"] = build_ovvv_plans(u)
+
+    # same window/seed through both dictionaries: the two sigmas must
+    # land the FEAST iteration on the same interior roots (the metallic
+    # spectrum makes agreement-with-Davidson basin-sensitive, so the
+    # invariant tested is dense-sigma == no-ovvv-sigma at the solver
+    # level, not which root the window picked)
+    eigs = {}
+    for tag, Vin in (("dense", dict_V), ("no_ovvv", V_mf)):
+        solver = FEAST_EOM_CCSD(no, e_c=e0, e_r=0.3, n_trial=2,
+                                max_iter=50, tol=1e-8, seed=3)
+        solver.ls_max_iter = 60
+        eigs[tag] = np.sort(np.real(solver.solve(fock, Vin, res["t2"])))
+    np.testing.assert_allclose(eigs["dense"], eigs["no_ovvv"], atol=1e-6)
