@@ -9,15 +9,18 @@ IJHPCA 2024) is to make every MXU operation *exact*:
 * scale each row of A (column of B) by a power of two so |x| < 1,
 * split the scaled mantissa into ``n_slices`` signed 6-bit integer slices
   (``x = sum_s q_s * 64**-(s+1)``, |q_s| <= 63, truncation toward zero),
-* multiply slices on the MXU as int8 x int8 -> int32 ``dot_general``s —
-  every product (<= 2^12) and every int32 accumulation is exact,
+* multiply slices on the MXU carried as f32 (products <= 2^12 and
+  partial sums below 2^24 are exact in f32; K is chunked past that and
+  partials accumulate in f64).  An int8->int32 carrier is mathematically
+  equivalent but hits a shape-dependent miscompile on this backend
+  (see ``_pair_dot``),
 * reconstruct in f64: slice-pair diagonals d = i+j share the scale
   ``64**-(d+2)``, so all pairs on a diagonal are fused into ONE matmul by
   concatenating slices along K, leaving ~``t_cutoff+1`` integer matmuls
   and one f64 scale-and-add sweep per diagonal.
 
-Exactness bound per diagonal: |sum| <= (d+1)*K*63^2 must stay below 2^31;
-``matmul`` auto-chunks K when it would not.  Dropped pairs (i+j >
+Exactness: each slice-pair dot is exact (f32-carried products with
+K-chunked f64 accumulation, see ``_pair_dot``).  Dropped pairs (i+j >
 ``t_cutoff``) and the slice-representation tail bound the error at
 ~``(t_cutoff+2)*2**(-6*(t_cutoff+1)) + 2**(-6*n_slices+1)`` relative to
 ``K * rowmax(A) * colmax(B)`` — defaults (9, 9) land at ~1e-15 normwise,
@@ -36,7 +39,6 @@ import numpy as np
 
 SLICE_BITS = 6
 RADIX = float(1 << SLICE_BITS)  # 64
-_INT32_HEADROOM = (1 << 31) - 1
 _PROD_MAX = 63 * 63
 
 
@@ -64,7 +66,7 @@ def _slice_scaled(x, n_slices, axis):
     """Split f64 ``x`` into int8 slices with power-of-two scales.
 
     Returns ``(slices, e)`` with ``slices`` of shape ``(n_slices,) + x.shape``
-    (int8) and ``e`` int32 exponents broadcastable against ``x`` along
+    (bf16-carried 6-bit integers) and ``e`` int32 exponents broadcastable against ``x`` along
     ``axis`` such that ``x = 2.**e * sum_s slices[s] * RADIX**-(s+1)``
     up to a ``2**(-SLICE_BITS*n_slices)`` relative-to-scale tail.
 
@@ -82,7 +84,12 @@ def _slice_scaled(x, n_slices, axis):
     for _ in range(n_slices):
         y = y * RADIX
         q = jnp.trunc(y)
-        slices.append(q.astype(jnp.int8))
+        # bf16 carrier: |q| <= 63 is exact in bf16, the MXU multiplies
+        # bf16 natively with exact f32 accumulation, and no per-call cast
+        # of the big sliced operand is needed (an int8 store needs a 4x
+        # f32 materialization per dot — and int8 dots themselves hit a
+        # shape-dependent miscompile on this backend, see _pair_dot)
+        slices.append(q.astype(jnp.bfloat16))
         y = y - q
     return jnp.stack(slices), e
 
@@ -99,9 +106,34 @@ def slice_cols(b, n_slices):
     return s, e[0, :]
 
 
-def _int_dot(a8, b8):
+# exact-f32 accumulation bound: slice products are <= 63*63, and f32
+# holds integers exactly below 2^24, so a dot over K <= _F32_CHUNK is
+# EXACT with an f32 carrier; longer K is chunked with f64 partial sums.
+# The f32 carrier replaced int8xint8->int32 dots after an XLA/Mosaic
+# miscompile on the axon backend: int8 dots whose operands are produced
+# by on-chip slicing silently corrupt at specific shapes (only
+# (212,212)x(212,10388) in a scan of 10 sizes — 1.7e-1 rel error; the
+# same dot fed pre-materialized operands is exact; benchmarks/probe_x).
+_F32_CHUNK = ((1 << 24) - 1) // _PROD_MAX
+
+
+def _slice_dot_f32(a8, b8):
     return jax.lax.dot_general(
-        a8, b8, (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32)
+        a8, b8, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+
+
+def _pair_dot(a8, b8):
+    """Exact f64 product of two slice matrices (K-chunked f32 dots)."""
+    k = a8.shape[1]
+    if k <= _F32_CHUNK:
+        return _slice_dot_f32(a8, b8).astype(jnp.float64)
+    acc = None
+    for lo in range(0, k, _F32_CHUNK):
+        hi = min(k, lo + _F32_CHUNK)
+        p = _slice_dot_f32(a8[:, lo:hi], b8[lo:hi, :]).astype(jnp.float64)
+        acc = p if acc is None else acc + p
+    return acc
 
 
 # below this many columns (rows), the N-stacked (M-stacked) fast path is
@@ -114,84 +146,60 @@ _STACK_MAX = 4096
 def matmul_presliced(sa, ea, sb, eb, t_cutoff):
     """f64 C = A @ B from pre-sliced operands.
 
-    ``sa``: (S, M, K) int8, ``ea``: (M,) int32 row exponents of A;
-    ``sb``: (S, K, N) int8, ``eb``: (N,) int32 column exponents of B.
+    ``sa``: (S, M, K) bf16-carried slices, ``ea``: (M,) int32 row
+    exponents of A; ``sb``: (S, K, N), ``eb``: (N,) column exponents.
 
     When one free dimension is small (CC amplitudes: N or M = no² ≪ nv²),
     the small operand's slices are stacked along that dimension and the
-    big operand's slices each enter ONE int8 matmul — all S² slice pairs
+    big operand's slices each enter ONE matmul — all S² slice pairs
     are then reconstructed (a superset of the requested ``t_cutoff``
     diagonals, so accuracy is ≥ the pair-loop path), with the big slices
     read once each instead of once per diagonal.
     """
     n_slices = sa.shape[0]
-    k_dim = sa.shape[2]
     t_max = min(int(t_cutoff), 2 * n_slices - 2)
 
-    # int32 exactness for a single slice pair: K * 63^2 < 2^31
-    if k_dim * _PROD_MAX < _INT32_HEADROOM:
-        m_dim, n_dim = sa.shape[1], sb.shape[2]
-        if n_dim * n_slices <= _STACK_MAX and n_dim <= m_dim:
-            # stationary A: B slices stacked along N
-            b_cat = jnp.concatenate(list(sb), axis=1)     # (K, S*N)
-            acc = None
-            for i in range(n_slices):
-                c = _int_dot(sa[i], b_cat).astype(jnp.float64)
-                c = c.reshape(m_dim, n_slices, n_dim)
-                scale = jnp.asarray(
-                    [2.0 ** (-SLICE_BITS * (i + j + 2))
-                     for j in range(n_slices)], jnp.float64)
-                # mul+sum, not einsum: the emulated-f64 short-axis dot
-                # lowering is ~60x off roofline on TPU (probe G)
-                term = (c * scale[None, :, None]).sum(axis=1)
-                acc = term if acc is None else acc + term
-            return acc * _pow2(ea[:, None] + eb[None, :])
-        if m_dim * n_slices <= _STACK_MAX and m_dim < n_dim:
-            # stationary B: A slices stacked along M
-            a_cat = jnp.concatenate(list(sa), axis=0)     # (S*M, K)
-            acc = None
-            for j in range(n_slices):
-                c = _int_dot(a_cat, sb[j]).astype(jnp.float64)
-                c = c.reshape(n_slices, m_dim, n_dim)
-                scale = jnp.asarray(
-                    [2.0 ** (-SLICE_BITS * (i + j + 2))
-                     for i in range(n_slices)], jnp.float64)
-                term = (c * scale[:, None, None]).sum(axis=0)
-                acc = term if acc is None else acc + term
-            return acc * _pow2(ea[:, None] + eb[None, :])
-
-    # int32 exactness: (#pairs on diagonal) * k_chunk * 63^2 < 2^31
-    worst_pairs = min(t_max + 1, n_slices)
-    k_chunk = max(1, _INT32_HEADROOM // (worst_pairs * _PROD_MAX))
-    n_chunks = -(-k_dim // k_chunk)
+    m_dim, n_dim = sa.shape[1], sb.shape[2]
+    if n_dim * n_slices <= _STACK_MAX and n_dim <= m_dim:
+        # stationary A: B slices stacked along N — each A slice is read
+        # ONCE (the pair loop re-reads the big operand per diagonal)
+        b_cat = jnp.concatenate(list(sb), axis=1)     # (K, S*N)
+        acc = None
+        for i in range(n_slices):
+            c = _pair_dot(sa[i], b_cat)
+            c = c.reshape(m_dim, n_slices, n_dim)
+            scale = jnp.asarray(
+                [2.0 ** (-SLICE_BITS * (i + j + 2))
+                 for j in range(n_slices)], jnp.float64)
+            # mul+sum, not einsum: the emulated-f64 short-axis dot
+            # lowering is ~60x off roofline on TPU (probe G)
+            term = (c * scale[None, :, None]).sum(axis=1)
+            acc = term if acc is None else acc + term
+        return acc * _pow2(ea[:, None] + eb[None, :])
+    if m_dim * n_slices <= _STACK_MAX and m_dim < n_dim:
+        # stationary B: A slices stacked along M
+        a_cat = sa.reshape(n_slices * m_dim, sa.shape[2])
+        acc = None
+        for j in range(n_slices):
+            c = _pair_dot(a_cat, sb[j])
+            c = c.reshape(n_slices, m_dim, n_dim)
+            scale = jnp.asarray(
+                [2.0 ** (-SLICE_BITS * (i + j + 2))
+                 for i in range(n_slices)], jnp.float64)
+            term = (c * scale[:, None, None]).sum(axis=0)
+            acc = term if acc is None else acc + term
+        return acc * _pow2(ea[:, None] + eb[None, :])
 
     acc = None
     for d in range(t_max + 1):
         pairs = [(i, d - i)
                  for i in range(max(0, d - n_slices + 1),
                                 min(d, n_slices - 1) + 1)]
-        # one int8 dot per pair, partials summed exactly in int32 (bounded
-        # by the k_chunk guard above) — concatenating slices along K would
-        # copy the whole slice set once per diagonal (~5 GB per nP=123
-        # ladder application)
-        if n_chunks == 1:
-            dmat = None
-            for i, j in pairs:
-                p = _int_dot(sa[i], sb[j])
-                dmat = p if dmat is None else dmat + p
-        else:
-            # exact-accumulation guard for very large K: sum f64 partials
-            dmat = None
-            for c in range(n_chunks):
-                lo = c * k_chunk
-                hi = min(k_dim, lo + k_chunk)
-                part = None
-                for i, j in pairs:
-                    p = _int_dot(sa[i, :, lo:hi], sb[j, lo:hi, :])
-                    part = p if part is None else part + p
-                part = part.astype(jnp.float64)
-                dmat = part if dmat is None else dmat + part
-        term = dmat.astype(jnp.float64) * (2.0 ** (-SLICE_BITS * (d + 2)))
+        dmat = None
+        for i, j in pairs:
+            p = _pair_dot(sa[i], sb[j])
+            dmat = p if dmat is None else dmat + p
+        term = dmat * (2.0 ** (-SLICE_BITS * (d + 2)))
         acc = term if acc is None else acc + term
     return acc * _pow2(ea[:, None] + eb[None, :])
 
