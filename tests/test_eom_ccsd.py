@@ -169,3 +169,41 @@ def test_hbar_sigma_ozaki_mode_matches_xla():
     for i in range(2):
         a, b = outs["xla"][i], outs["ozaki:9:9"][i]
         assert np.abs(a - b).max() < 1e-11 * max(np.abs(a).max(), 1.0)
+
+
+def test_davidson_space_exhausted_tiny_basis():
+    """H2/STO-6G: the full excitation space is 2-dimensional, so with
+    n_excit = 2 the subspace saturates max_dim every iteration.  The
+    collapse branch must still record the Ritz values and converge to
+    the exact eigenvalues (regression: it skipped the update and
+    returned zeros), and guess seeding must spill into the doubles
+    block when n_excit exceeds the singles space (nov = 1)."""
+    import os
+    from pymes_tpu.mean_field import hf
+    from pymes_tpu.solver import ccsd
+    from pymes_tpu.util import fcidump
+
+    data = os.path.join(os.path.dirname(__file__), "data")
+    n_elec, nb, e_core, e_orb, h, V = fcidump.read(
+        os.path.join(data, "FCIDUMP.H2.sto6g"))
+    no = n_elec // 2
+    fock = hf.construct_hf_matrix(no, h, V)
+    cc = ccsd.CCSD(no)
+    res = cc.solve(fock, V, delta_e=1e-12)
+    dV = part_2_body_int(no, V)
+    fd = cc.get_T1_dressed_fock(fock, res["t1"], dV)
+    Vd = cc.get_T1_dressed_V(res["t1"], dV)
+
+    # exact 2x2 H-bar from the batched sigma
+    dav = eom_ccsd.EOM_CCSD(no, n_excit=2)
+    U1 = np.eye(2)[:, :1].reshape(2, 1, 1)
+    U2 = np.eye(2)[:, 1:].reshape(2, 1, 1, 1, 1)
+    W1, W2 = dav._batched_sigma(fd, Vd, U1, U2, res["t2"])
+    H = np.array([[np.asarray(W1)[0].ravel()[0],
+                   np.asarray(W1)[1].ravel()[0]],
+                  [np.asarray(W2)[0].ravel()[0],
+                   np.asarray(W2)[1].ravel()[0]]])
+    e_exact = np.sort(np.linalg.eigvals(H).real)
+
+    e = np.sort(np.real(dav.solve(fd, Vd, res["t2"])))
+    np.testing.assert_allclose(e, e_exact, atol=1e-9)
