@@ -54,32 +54,35 @@ def main():
     log(f"integrals: nP={n_p}, nnz={len(vals)} "
         f"({time.time() - t0:.1f}s host)")
 
-    # ship the momentum-conservation-sparse integral list (~4 MB) and
-    # scatter to dense on device
+    # ship the momentum-conservation-sparse integral list (~4 MB), build
+    # the named o/v blocks on device and the momentum-block-diagonal
+    # ladder plan on host — the production path holds NO nv^4 tensor
     t0 = time.time()
-    V = ueg.sparse_to_dense(idx, vals, n_p, dtype=jnp.float64)
-    kinetic = jnp.asarray(np.diag(u.kinetic_energies()))
-    fock = hf.construct_hf_matrix(no, kinetic, V)
-    blocks = ccd.blocks_from_full(no, V)
-    jax.block_until_ready(blocks.abcd)
-    log(f"upload+scatter+fock: {time.time() - t0:.1f}s")
+    from pymes_tpu.ops.ueg_ladder import build_block_ladder
+    NEED = ('klij', 'ijab', 'abij', 'iajb', 'iabj', 'aibj', 'aijb')
+    d = ueg.sparse_to_blocks(idx, vals, n_p, no, names=NEED,
+                             dtype=jnp.float64)
+    kin = jnp.asarray(u.kinetic_energies())
+    eps_i = hf.calcOccupiedOrbE(kin, d['klij'], no)
+    eps_a = hf.calcVirtualOrbE(kin, d['aibj'], d['aijb'], no, n_p - no)
+    fock = jnp.diag(jnp.concatenate([eps_i, eps_a]))
+    lad = build_block_ladder(u)
+    blocks = ccd.CCDBlocks(klij=d['klij'], ijab=d['ijab'], abij=d['abij'],
+                           iajb=d['iajb'], iabj=d['iabj'], abcd=None,
+                           ladder=lad)
+    jax.block_until_ready(blocks.abij)
+    log(f"upload+blocks+plan: {time.time() - t0:.1f}s")
 
-    eps_i = jnp.diagonal(fock)[:no]
-    eps_a = jnp.diagonal(fock)[no:]
     _, T0 = mp2.solve(eps_i, eps_a, blocks.ijab, blocks.abij, -1.0)
 
-    # production path: occupied-leading loop layout + integer-MXU Ozaki
-    # residual contractions with the loop-invariant ladder block presliced
-    # once (round 2) — same 1e-8 oracle, ~1e-12 energy agreement with the
-    # xla-f64 path, measured in benchmarks/RESULTS.md
-    pre = ccd.preslice_abcd(blocks.abcd, 7, "ijab")
-    jax.block_until_ready(pre[0])
-
+    # production path (round 2): matrix-free momentum-block ladder +
+    # occupied-leading loop layout.  At this size the ring contractions
+    # are small enough that xla-f64 beats the sliced-MXU backend
+    # (which shines at nP >= 123; benchmarks/RESULTS.md)
     def solve():
         out = ccd.ccd_solve_jit(fock, blocks, no, T0, level_shift=-1.0,
                                 delta_e=1e-8, max_iter=60,
-                                contract_mode="ozaki:7:6", layout="ijab",
-                                abcd_presliced=pre)
+                                contract_mode="xla", layout="ijab")
         return float(out[0]), int(out[5])
 
     t0 = time.time()
