@@ -266,14 +266,20 @@ def _pad_to(m):
 
 
 def build_block_ladder(ueg_model, correlator=None, dtype=np.float64,
-                       bra="virtual", preslice=9, **integral_flags):
+                       bra="virtual", preslice=9, pad_sectors=1,
+                       **integral_flags):
     """Build a :class:`BlockLadder` (same weight classes as
     :func:`build_ueg_ladder`; exact vs the dense block,
     ``tests/test_ueg_ladder.py``).
 
-    ``preslice`` (int or None): attach ozaki int8 slices of the sector
-    blocks so applications run on the integer MXU; 9 slices reconstruct
-    full f64.  ``None`` keeps the XLA emulated-f64 batched matmuls.
+    ``preslice`` (int or None): attach ozaki slices of the sector blocks
+    so applications run the sector matmuls through the sliced-MXU path;
+    9 slices reconstruct full f64.  ``None`` keeps the XLA emulated-f64
+    batched matmuls.
+
+    ``pad_sectors``: round every bucket's sector count up to a multiple
+    (with zero blocks), so the sector axis divides a device-mesh axis —
+    see :func:`shard_block_ladder`.
     """
     no = ueg_model.n_ele // 2
     n_p = ueg_model.n_spatial
@@ -332,7 +338,7 @@ def build_block_ladder(ueg_model, correlator=None, dtype=np.float64,
     col0 = 0
     inv_bra = np.full(n_bra * n_bra, -1, np.int64)
     for (mB, mK), secs in sorted(buckets.items()):
-        nS = len(secs)
+        nS = -(-len(secs) // int(pad_sectors)) * int(pad_sectors)
         blocks = np.zeros((nS, mB, mK), dtype)
         perm_ket = np.zeros((nS, mK), np.int32)
         for t, (bra_ids, ket_ids) in enumerate(secs):
@@ -472,6 +478,27 @@ def block_ladder_apply_ab_ozaki(plan: BlockLadder, T_abij, t_cutoff=None):
                            axis=0).reshape(nS, mK, no2))
     out = _block_ozaki_rows(plan, Xs, no2, T.dtype, t_cutoff)
     return out.reshape(n_bra, n_bra, T.shape[2], T.shape[3])
+
+
+def shard_block_ladder(plan: BlockLadder, mesh, axis="a"):
+    """Distribute the plan's sector axis over a mesh axis (the K-sectors
+    are independent — CTF's distributed-contraction role for the ladder,
+    with zero communication until the output gather).  Build the plan
+    with ``pad_sectors = mesh.shape[axis]`` so every bucket divides the
+    axis.  The apply functions are unchanged: under ``jit`` GSPMD
+    partitions the batched sector matmuls along the sharded axis."""
+    from jax.sharding import NamedSharding, PartitionSpec
+    sec = NamedSharding(mesh, PartitionSpec(axis))
+    rep = NamedSharding(mesh, PartitionSpec())
+    groups = tuple(BlockGroup(blocks=jax.device_put(g.blocks, sec),
+                              perm_ket=jax.device_put(g.perm_ket, sec))
+                   for g in plan.groups)
+    presliced = plan.presliced
+    if presliced is not None:
+        presliced = tuple((jax.device_put(s, sec), jax.device_put(e, sec))
+                          for s, e in presliced)
+    return plan._replace(groups=groups, presliced=presliced,
+                         inv_bra=jax.device_put(plan.inv_bra, rep))
 
 
 def ladder_apply(plan, T_abij, chunk=1):
