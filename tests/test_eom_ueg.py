@@ -164,3 +164,51 @@ def test_matrix_free_sigma_no_ovvv_blocks():
     W1c, W2c = dav3._batched_sigma(jnp.asarray(fock), V_mf, U1, U2, T2)
     assert np.abs(np.asarray(W1a) - np.asarray(W1c)).max() < 1e-11
     assert np.abs(np.asarray(W2a) - np.asarray(W2c)).max() < 1e-11
+
+
+def test_matrix_free_sigma_no_ovvv_t1_dressed():
+    """T1 ≠ 0 (noisy-Fock UEG) matrix-free EOM sigma with NO ovvv blocks:
+    every dressed <ov|vv>-class term expands into bare gathers + small-
+    block T1 corrections.  Must equal the dense dressed-block sigma
+    exactly."""
+    import jax.numpy as jnp
+    from pymes_tpu.ops.ueg_ladder import (build_block_ladder,
+                                          build_ovvv_plans)
+
+    u = ueg.UEG(14, 7, 7, 1.0)
+    u.init_single_basis(2)
+    V = np.asarray(u.eval_2b_integrals())
+    no = 7
+    nv = u.n_spatial - no
+    fock = np.asarray(hf.construct_hf_matrix(
+        no, np.diag(u.kinetic_energies()), V))
+    rng = np.random.default_rng(5)
+    noise = rng.standard_normal(fock.shape) * 0.02
+    fock = fock + noise + noise.T
+
+    cc = ccsd.CCSD(no)
+    res = cc.solve(fock, V, delta_e=1e-10, max_iter=200)
+    assert float(np.abs(np.asarray(res["t1"])).max()) > 1e-3
+
+    dict_V = part_2_body_int(no, V)
+    fd = cc.get_T1_dressed_fock(fock, res["t1"], dict_V)
+    Vd = cc.get_T1_dressed_V(res["t1"], dict_V)
+
+    rng2 = np.random.default_rng(9)
+    U1 = rng2.standard_normal((2, nv, no))
+    U2 = rng2.standard_normal((2, nv, nv, no, no))
+
+    dav = eom_ccsd.EOM_CCSD(no, n_excit=2)
+    W1a, W2a = dav._batched_sigma(fd, Vd, U1, U2, res["t2"])
+
+    V_mf = {k: v for k, v in Vd.items()
+            if k not in ("abcd", "iabc", "abic", "aibc", "abci")}
+    V_mf["abcd"] = None
+    V_mf["abcd_ladder"] = build_block_ladder(u, bra="all")
+    V_mf["abcd_t1"] = jnp.asarray(res["t1"])
+    V_mf["_ovvv_plans"] = build_ovvv_plans(u)
+    V_mf["_bare"] = {k: dict_V[k] for k in ("iajb", "iabj", "ijka")}
+    dav2 = eom_ccsd.EOM_CCSD(no, n_excit=2)
+    W1b, W2b = dav2._batched_sigma(fd, V_mf, U1, U2, res["t2"])
+    assert np.abs(np.asarray(W1a) - np.asarray(W1b)).max() < 1e-10
+    assert np.abs(np.asarray(W2a) - np.asarray(W2b)).max() < 1e-10
