@@ -46,12 +46,23 @@ def gmres(matvec, b, precond=None, tol=1e-5, restart=20, max_outer=20):
     bnorm = jnp.sqrt(_dot(Mb, Mb))
     safe_b = jnp.maximum(bnorm, jnp.asarray(1e-300, dtype))
 
+    # breakdown guard: a NEAR-zero (not exactly zero) Krylov vector must
+    # not be normalized — dividing by a floored denominator amplifies it
+    # by up to 1e150 and the next dot overflows to inf - inf = NaN.
+    # Below this norm the direction is noise; replace it with the zero
+    # vector (its H column and rotation become inert).
+    _BREAK = jnp.asarray(1e-140, dtype)
+
+    def _safe_unit(v, norm):
+        return jnp.where(norm > _BREAK, 1.0 / jnp.maximum(norm, _BREAK),
+                         0.0) * v
+
     def inner(x0):
         """One GMRES(m) cycle from x0; returns (x, prec_res_norm)."""
         r = precond(b - matvec(x0))
         beta = jnp.sqrt(_dot(r, r))
-        safe = jnp.maximum(beta, jnp.asarray(1e-300, dtype))
-        V0 = jnp.zeros((restart + 1, n), dtype).at[0].set(r / safe)
+        V0 = jnp.zeros((restart + 1, n), dtype).at[0].set(
+            _safe_unit(r, beta))
 
         H0 = jnp.zeros((restart + 1, restart), dtype)
         cs0 = jnp.zeros((restart,), dtype)
@@ -61,20 +72,22 @@ def gmres(matvec, b, precond=None, tol=1e-5, restart=20, max_outer=20):
         def body(j, carry):
             V, H, cs, sn, g = carry
             w = precond(matvec(V[j]))
-            # modified Gram-Schmidt against all rows (rows > j are zero)
+            # modified Gram-Schmidt against all rows (rows > j are zero),
+            # two passes — single-pass MGS loses orthogonality enough to
+            # stall restarts at ~1e-7 under TPU's emulated f64
             def mgs(i, wh):
                 w, h = wh
                 hij = _dot(V[i], w)
                 use = i <= j
                 hij = jnp.where(use, hij, 0.0)
-                return w - hij * V[i], h.at[i].set(hij)
+                return w - hij * V[i], h.at[i].set(h[i] + hij)
 
             w, h = jax.lax.fori_loop(0, restart + 1, mgs,
                                      (w, jnp.zeros((restart + 1,), dtype)))
+            w, h = jax.lax.fori_loop(0, restart + 1, mgs, (w, h))
             hnext = jnp.sqrt(_dot(w, w))
             h = h.at[j + 1].set(hnext)
-            V = V.at[j + 1].set(
-                w / jnp.maximum(hnext, jnp.asarray(1e-300, dtype)))
+            V = V.at[j + 1].set(_safe_unit(w, hnext))
 
             # apply existing Givens rotations to the new column
             def rot(i, hcol):
@@ -85,10 +98,12 @@ def gmres(matvec, b, precond=None, tol=1e-5, restart=20, max_outer=20):
                 return hcol.at[i].set(new_i).at[i + 1].set(new_i1)
 
             h = jax.lax.fori_loop(0, restart, rot, h)
-            # new rotation annihilating h[j+1]
+            # new rotation annihilating h[j+1] (identity on a dead column)
             denom = jnp.sqrt(h[j] ** 2 + h[j + 1] ** 2)
-            safe_d = jnp.maximum(denom, jnp.asarray(1e-300, dtype))
-            c, s = h[j] / safe_d, h[j + 1] / safe_d
+            safe_d = jnp.maximum(denom, _BREAK)
+            alive = denom > _BREAK
+            c = jnp.where(alive, h[j] / safe_d, 1.0)
+            s = jnp.where(alive, h[j + 1] / safe_d, 0.0)
             h = h.at[j].set(denom).at[j + 1].set(0.0)
             cs = cs.at[j].set(c)
             sn = sn.at[j].set(s)
