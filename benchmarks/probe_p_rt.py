@@ -26,7 +26,7 @@ print("devices:", jax.devices(), flush=True)
 NEED = ('klij', 'ijab', 'abij', 'iajb', 'iabj', 'aibj', 'aijb',
         'ijka', 'ijak', 'iajk')
 u = ueg.UEG(14, 7, 7, 0.5)
-u.init_single_basis(10)
+u.init_single_basis(int(os.environ.get('RT_CUTOFF', 10)))
 no = 7
 idx, vals = u.eval_2b_integrals(sp=2)
 n_p = u.n_spatial

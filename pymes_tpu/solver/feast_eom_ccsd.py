@@ -126,15 +126,25 @@ _shifted_solve = partial(jax.jit, static_argnames=(
 
 def _nodes_impl(f, dict_t_V, T2, b_pair, z_pairs, diag_vec, no, nv,
                 is_rt=False, dt=0.0, ls_max_iter=20, ls_conv_tol=1e-4,
-                hbar=None, contract_mode="xla"):
-    def one(z_pair):
-        return _shifted_solve_impl(f, dict_t_V, T2, b_pair, z_pair,
+                hbar=None, contract_mode="xla", phases=None):
+    def solve_one(rhs, z_pair):
+        return _shifted_solve_impl(f, dict_t_V, T2, rhs, z_pair,
                                    diag_vec, no, nv, is_rt=is_rt, dt=dt,
                                    ls_max_iter=ls_max_iter,
                                    ls_conv_tol=ls_conv_tol, hbar=hbar,
                                    contract_mode=contract_mode)
 
-    return jax.vmap(one)(z_pairs)
+    if phases is None:
+        return jax.vmap(lambda zp: solve_one(b_pair, zp))(z_pairs)
+
+    # RT: per-node complex phase on the rhs (b ← e^{z_e}·b)
+    def one_ph(z_pair, ph):
+        pr, pi = ph
+        br, bi = b_pair
+        rhs = (pr * br - pi * bi, pr * bi + pi * br)
+        return solve_one(rhs, z_pair)
+
+    return jax.vmap(one_ph)(z_pairs, phases)
 
 
 # all quadrature nodes in one batched dispatch: vmap over the shift z_e

@@ -58,16 +58,39 @@ class RT_EOM_CCSD(FEAST_EOM_CCSD):
         z = (self.e_c * 1j + self.e_r * np.exp(1j * theta)) * dt
 
         b = np.concatenate([np.ravel(u_singles), np.ravel(u_doubles)])
-        Q = np.zeros(b.shape, dtype=complex)
-        for e_i in range(len(z)):
-            Qe = self._solve_node(f, dict_t_V_dressed, T2, b, z[e_i],
-                                  diag_vec, nv, is_rt=True, dt=dt,
-                                  phase=np.exp(z[e_i]))
-            # +w/2: the θ = −πx parametrisation walks the contour
-            # clockwise; the positive-orientation residue sum makes one
-            # step exactly e^{+iH̄dt}·u (the reference's −w/2 leaves a
-            # global −1 per step that its per-step normalisation hides)
-            Q += w[e_i] / 2 * (self.e_r * dt * np.exp(1j * theta[e_i]) * Qe)
+        # +w/2: the θ = −πx parametrisation walks the contour clockwise;
+        # the positive-orientation residue sum makes one step exactly
+        # e^{+iH̄dt}·u (the reference's −w/2 leaves a global −1 per step
+        # that its per-step normalisation hides)
+        node_w = w / 2 * (self.e_r * dt * np.exp(1j * theta))
+        if type(self)._solve_node is not FEAST_EOM_CCSD._solve_node:
+            # subclassed per-node solver (model-Hamiltonian tests)
+            Q = np.zeros(b.shape, dtype=complex)
+            for e_i in range(len(z)):
+                Qe = self._solve_node(f, dict_t_V_dressed, T2, b, z[e_i],
+                                      diag_vec, nv, is_rt=True, dt=dt,
+                                      phase=np.exp(z[e_i]))
+                Q += node_w[e_i] * Qe
+        else:
+            # all contour nodes in ONE batched device dispatch (the
+            # per-node python loop pays a full GMRES dispatch per node —
+            # 64-node RT steps vectorize exactly like FEAST windows)
+            from pymes_tpu.solver.feast_eom_ccsd import _shifted_solve_nodes
+            b_c = b.astype(complex)
+            b_pair = (jnp.asarray(b_c.real), jnp.asarray(b_c.imag))
+            z_pairs = (jnp.asarray(z.real), jnp.asarray(z.imag))
+            ph = np.exp(z)
+            phases = (jnp.asarray(ph.real), jnp.asarray(ph.imag))
+            (xr, xi), rel = _shifted_solve_nodes(
+                f, dict_t_V_dressed, T2, b_pair, z_pairs,
+                jnp.asarray(diag_vec), no, nv, is_rt=True, dt=dt,
+                ls_max_iter=self.ls_max_iter,
+                ls_conv_tol=self.ls_conv_tol,
+                hbar=self._get_hbar(f, dict_t_V_dressed, T2),
+                contract_mode=self._cm(), phases=phases)
+            self._warn_unconverged(rel)
+            Qe_all = np.asarray(xr) + 1j * np.asarray(xi)
+            Q = (node_w[:, None] * Qe_all).sum(axis=0)
 
         q1 = Q[:n1].reshape(nv, no)
         q2 = Q[n1:].reshape(nv, nv, no, no)
