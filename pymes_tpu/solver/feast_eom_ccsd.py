@@ -61,6 +61,24 @@ def _shifted_solve_impl(f, dict_t_V, T2, b_pair, z_pair, diag_vec, no, nv,
     n1 = nv * no
     zr, zi = z_pair
 
+    # GMRES below is jax.scipy's, whose lax.custom_linear_solve must
+    # LINEARIZE/TRANSPOSE the operator — every primitive in the matvec
+    # must be linear.  The sigma is linear in u, but two ingredients
+    # carry non-linear primitives: the sliced-MXU contraction backend
+    # (mantissa trunc / exponent bitcasts) and a BlockLadder's attached
+    # slices.  Strip both here: ladder applications fall back to the
+    # f64 batched sector matmuls and contractions to xla — a minor cost
+    # inside the solve (the ladder is a small part of a sigma matvec).
+    # (An in-house GMRES free of this restriction exists in ops/gmres.py
+    # and passes its unit tests on chip, but large fused instances
+    # crashed the axon TPU worker — revisit when the backend stabilises.)
+    from pymes_tpu.ops.ueg_ladder import BlockLadder
+    lad = dict_t_V.get("abcd_ladder")
+    if isinstance(lad, BlockLadder) and lad.presliced is not None:
+        dict_t_V = dict(dict_t_V)
+        dict_t_V["abcd_ladder"] = lad._replace(presliced=None)
+    contract_mode = "xla"
+
     def H(x):
         u1 = x[:n1].reshape(nv, no)
         u2 = x[n1:].reshape(nv, nv, no, no)
@@ -93,25 +111,9 @@ def _shifted_solve_impl(f, dict_t_V, T2, b_pair, z_pair, diag_vec, no, nv,
         xr, xi = pair
         return (m_r * xr - m_i * xi, m_r * xi + m_i * xr)
 
-    # in-house restarted GMRES (ops/gmres.py): jax.scipy's wraps the
-    # operator in lax.custom_linear_solve, which rejects linear operators
-    # built from non-linear primitives (the integer-MXU sigma path)
-    from pymes_tpu.ops.gmres import gmres as _gmres
-    n_half = b_pair[0].shape[0]
-    b_flat = jnp.concatenate(b_pair)
-
-    def mv_flat(v):
-        out = matvec((v[:n_half], v[n_half:]))
-        return jnp.concatenate(out)
-
-    def prec_flat(v):
-        out = precond((v[:n_half], v[n_half:]))
-        return jnp.concatenate(out)
-
-    x_flat, _ = _gmres(mv_flat, b_flat, precond=prec_flat,
-                       tol=ls_conv_tol, restart=restart,
-                       max_outer=ls_max_iter)
-    x = (x_flat[:n_half], x_flat[n_half:])
+    x, _ = jax.scipy.sparse.linalg.gmres(
+        matvec, b_pair, tol=ls_conv_tol, atol=0.0, restart=restart,
+        maxiter=ls_max_iter, M=precond, solve_method="batched")
     rr, ri = matvec(x)
     rr = rr - b_pair[0]
     ri = ri - b_pair[1]
