@@ -9,6 +9,14 @@ slower than XLA's pipelined matmul, so they serve as precision-ladder
 experiments, not the default hot path — ``ops.ladder`` stays on ``xla``
 mode.
 
+Status (round 3): RETAINED as alternative precision backends reachable
+through ``ops.ladder.ppl_contract(mode=...)`` and covered by
+``tests/test_untested_corners.py``; the production f64-at-MXU-speed path
+is the Ozaki int8-slice engine (:mod:`pymes_tpu.ops.ozaki`), which
+supersedes ``matmul_ds`` for accuracy (1e-12 vs ~1e-7) and speed.  The
+double-single kernel remains the right rung when VMEM pressure rules out
+the int8 slice stack (k-slices × 2 operands).
+
 Two kernels back :func:`pymes_tpu.ops.ladder.ppl_contract`:
 
 * :func:`matmul_f32` — tiled f32 MXU matmul (128×128 blocks, K-loop in

@@ -37,8 +37,9 @@ def _ring_kernel(V_loc, T_loc, *, axis, n_dev, csz):
         T_held = jax.lax.ppermute(T_held, axis, perm)
         return T_held, R
 
-    R0 = jax.lax.pvary(
-        jnp.zeros(V_loc.shape[:1] + T_loc.shape[1:], T_loc.dtype), axis)
+    R0 = jax.lax.pcast(
+        jnp.zeros(V_loc.shape[:1] + T_loc.shape[1:], T_loc.dtype), axis,
+        to="varying")
     _, R = jax.lax.fori_loop(0, n_dev, step, (T_loc, R0))
     return R
 
