@@ -137,15 +137,9 @@ class UEG:
         d_kvec = kp[None, :, :] - kp[:, None, :]           # (p, r, 3)
         dk2 = np.einsum("prx,prx->pr", d_kvec, d_kvec)     # (p, r)
 
-        # conservation: s(p,q,r) with k_s = k_q − d_int(p,r)
-        int_ks = k_int[None, :, None, :] - d_int[:, None, :, :]  # (p,q,r,3)
-        s_idx = self._lookup_flat(int_ks)                        # (p,q,r)
-        valid = s_idx >= 0
-        s_safe = np.where(valid, s_idx, 0)
-
         has_dk = np.abs(dk2) > 0.0
         w_pr = np.zeros((n_p, n_p), dtype=dtype)     # (p,r)-only weights
-        w_pqr = None                                 # (p,q,r) weights
+        need_nh = False                              # add the (p,q,r) term
 
         def corr(x):
             return _call_correlator(self.correlator, x, scalar_path=True)
@@ -172,20 +166,13 @@ class UEG:
             if is_only_hermi_2b:
                 w_pr = np.where(has_dk, base / self.Omega,
                                 u_mat / self.Omega)
+            elif is_only_non_hermi_2b:
+                w_pr = np.where(has_dk, coul / self.Omega, 0.0)
+                need_nh = True
             else:
-                # non-hermitian part: −(kp_r − kp_s)·dk · u(dk²) — depends
-                # on s, hence on (p, q, r)
-                kp_s = kp[s_safe]                             # (p,q,r,3)
-                # kp_r broadcasts over axis 2 (the r axis) of (p,q,r)
-                rs_dk = kp[None, None, :, :] - kp_s
-                nh = -np.einsum("pqrx,prx->pqr", rs_dk, d_kvec) * corr(dk2)[:, None, :]
-                if is_only_non_hermi_2b:
-                    w_pqr = np.where(has_dk[:, None, :],
-                                     (coul[:, None, :] + nh) / self.Omega, 0.0)
-                else:
-                    w_pqr = np.where(has_dk[:, None, :],
-                                     (base[:, None, :] + nh) / self.Omega,
-                                     (u_mat / self.Omega)[:, None, :])
+                w_pr = np.where(has_dk, base / self.Omega,
+                                u_mat / self.Omega)
+                need_nh = True
         elif is_effect_2b or is_exchange_1 or is_exchange_2 or is_exchange_3:
             ex1 = self._contract_exchange_3b_vec(kp[None, :, :], d_kvec)  # u(k²)u((r−i)²)(r−i)·k over i, at p_vec=kp_r
             ex2 = self._contract_exchange_3b_vec(kp[:, None, :], d_kvec)  # at p_vec=kp_p
@@ -206,13 +193,26 @@ class UEG:
         else:
             raise ValueError("No integral class selected for correlator run")
 
-        # gather the momentum-conserving nonzero set
-        pq, qq, rq = np.nonzero(valid)
-        sq = s_idx[pq, qq, rq]
-        if w_pqr is not None:
-            vals = w_pqr[pq, qq, rq]
-        else:
-            vals = w_pr[pq, rq]
+        # momentum-conserving nonzero set WITHOUT any O(nP³) temporary
+        # (VERDICT r2 task 5; replaces the reference's per-tuple Python
+        # loop ``pymes/model/ueg.py:384-507`` AND round-2's dense (p,q,r)
+        # lookup): s is fixed by the transfer d = k_r − k_p, of which only
+        # O((4·imax+1)³) ≪ nP² are distinct — look up s once per (d, q),
+        # then expand the (p,r)-groups × (q,s)-lists per transfer with
+        # O(nnz) vectorized index arithmetic.
+        pq, qq, rq, sq, pr_flat = self._conserving_index_lists(d_int)
+        vals = w_pr.ravel()[pr_flat]
+        if need_nh:
+            # non-hermitian term −(kp_r − kp_s)·dk·u(dk²)/Ω on the
+            # expanded entries (same per-element arithmetic as the dense
+            # construction; O(nnz))
+            rs_dk = kp[rq] - kp[sq]
+            dv = d_kvec.reshape(-1, 3)[pr_flat]
+            u_e = corr(dk2).ravel()[pr_flat]
+            vals = vals + np.where(
+                has_dk.ravel()[pr_flat],
+                -np.einsum("nx,nx->n", rs_dk, dv) * u_e / self.Omega, 0.0)
+        vals = vals.astype(dtype, copy=False)
         idx = np.stack([pq, qq, rq, sq], axis=1)
 
         if sp == 2:
@@ -231,6 +231,43 @@ class UEG:
         if is_effect_2b:
             V = 0.5 * (V + V.transpose(1, 0, 3, 2))
         return V
+
+    def _conserving_index_lists(self, d_int):
+        """The momentum-conserving (p, q, r, s) tuples, grouped by
+        transfer, without any O(nP³) temporary.
+
+        ``s = lookup(k_q − d)`` depends on (p, r) only through the transfer
+        ``d = k_r − k_p``; with ``n_d = O((4·imax+1)³)`` distinct transfers
+        the lookup table is (n_d, nP) instead of (nP, nP, nP).  The tuple
+        list is then the per-transfer product of the (p,r)-group and the
+        valid (q,s)-list, expanded with O(nnz) repeats.
+
+        Returns ``(p, q, r, s, pr_flat)`` with ``pr_flat = p·nP + r`` for
+        gathering (p,r)-grid weights."""
+        n_p = self.n_spatial
+        k_int = self.basis.k_int
+        d_flat = d_int.reshape(-1, 3)
+        uniq_d, inv_pr = np.unique(d_flat, axis=0, return_inverse=True)
+
+        s_dq = self._lookup_flat(k_int[None, :, :] - uniq_d[:, None, :])
+        valid_dq = s_dq >= 0
+        counts_qs = valid_dq.sum(axis=1).astype(np.int64)   # per transfer
+        dq_q = np.nonzero(valid_dq)[1]                      # grouped by d
+        dq_s = s_dq[valid_dq]
+        qs_starts = np.concatenate(([0], np.cumsum(counts_qs)[:-1]))
+
+        order_pr = np.argsort(inv_pr, kind="stable")        # group pairs by d
+        d_of_pr = inv_pr[order_pr]
+        nqs_per_pr = counts_qs[d_of_pr]                     # block lengths
+        ends = np.cumsum(nqs_per_pr)
+        total = int(ends[-1]) if len(ends) else 0
+        starts = ends - nqs_per_pr
+        intra = np.arange(total, dtype=np.int64) - np.repeat(starts,
+                                                             nqs_per_pr)
+        qs_sel = np.repeat(qs_starts[d_of_pr], nqs_per_pr) + intra
+        pr_flat = np.repeat(order_pr, nqs_per_pr)
+        return (pr_flat // n_p, dq_q[qs_sel], pr_flat % n_p, dq_s[qs_sel],
+                pr_flat)
 
     # --- single-contraction kernels (vectorized over (p, r)) -------------
     def _occ_kp(self):
@@ -353,18 +390,21 @@ class UEG:
         w = -(u1[:, :, None, None] * u2[None, None, :, :] * k1_dot_k2) \
             / 2.0 / self.Omega ** 2                        # (o, r, p, s)
 
-        # t(o,r,p,s,q): k_t = −d1 + d2 + k_q; chunk over o to bound the
-        # (r,p,s,q,3) index workspace at nP⁴ instead of nP⁵
+        # t(o,r,p,s,q): k_t = −d1 + d2 + k_q; chunk over (o, r) to bound
+        # the (r,p,s,q,3) index workspace at ~200 MB instead of nP⁴·24 B
+        # (VERDICT r2 task 5)
         L = np.zeros([n_p] * 6, dtype=dtype)
+        r_chunk = max(1, int(8e6) // max(1, n_p ** 3))
         for o in range(n_p):
-            t_int = (-d1_int[o, :, None, None, None, :]
-                     + d2_int[None, :, :, None, :]
-                     + k_int[None, None, None, :, :])      # (r,p,s,q,3)
-            t_idx = self._lookup_flat(t_int)               # (r,p,s,q)
-            valid = t_idx >= 0
-            rr, pp, ss, qq = np.nonzero(valid)
-            tt = t_idx[rr, pp, ss, qq]
-            L[o, pp, qq, rr, ss, tt] = w[o, rr, pp, ss]
+            for r0 in range(0, n_p, r_chunk):
+                r1 = min(r0 + r_chunk, n_p)
+                t_int = (-d1_int[o, r0:r1, None, None, None, :]
+                         + d2_int[None, :, :, None, :]
+                         + k_int[None, None, None, :, :])  # (rc,p,s,q,3)
+                t_idx = self._lookup_flat(t_int)           # (rc,p,s,q)
+                rr, pp, ss, qq = np.nonzero(t_idx >= 0)
+                tt = t_idx[rr, pp, ss, qq]
+                L[o, pp, qq, rr + r0, ss, tt] = w[o, rr + r0, pp, ss]
         return L
 
     def contract3BodyIntegralsTo2Body(self, integrals):

@@ -61,9 +61,42 @@ def _transfer_weights(ueg_model, q_vecs, correlator=None, **integral_flags):
         return np.where(q2 > 0, (coul + u_mat + q2 * u) / ueg_model.Omega,
                         u_mat / ueg_model.Omega)
     raise NotImplementedError(
-        "matrix-free plans support the Coulomb, RPA-approx and "
-        "hermitian-TC integral classes (transfer-only weights); the "
-        "non-hermitian class depends on (r, s) and needs the dense block")
+        "gather plans support the Coulomb, RPA-approx and hermitian-TC "
+        "integral classes (transfer-only weights); for the non-hermitian "
+        "classes use build_block_ladder, whose sector blocks carry the "
+        "(c,d)-dependent term")
+
+
+def _nh_flags(integral_flags):
+    """Split the integral flags of a NON-HERMITIAN class into the
+    transfer-only base class + a marker to add the −(kp_c−kp_d)·q·u(q²)/Ω
+    sector term (reference ``pymes/model/ueg.py:441-470``, the rs-dependent
+    term; VERDICT r2 task 6).  Returns (base_flags | None, needs_nh)."""
+    f = dict(integral_flags)
+    if f.pop("is_only_2b", False):
+        # hermitian base (coul + Σ∇u·∇u + q²u) + the nh term
+        f["is_only_hermi_2b"] = True
+        return f, True
+    if f.pop("is_only_non_hermi_2b", False):
+        # coulomb base + the nh term (matches eval_2b_integrals: at q=0
+        # the class value is 0)
+        return (f or None), True
+    return integral_flags, False
+
+
+def _sector_nh(ueg_model, tvec_int, kcd_int, correlator):
+    """Non-hermitian sector term ``nh[i,j] = −(kp_c−kp_d)·q·u(q²)/Ω`` with
+    q = tvec (the transfer k_c − k_p of the (bra_i, ket_j) element) and
+    (kp_c − kp_d) of ket pair j.  Twist shifts cancel in both differences,
+    so integer k arithmetic is exact."""
+    from pymes_tpu.models.ueg import _call_correlator
+
+    two_pi_L = 2.0 * np.pi / ueg_model.L
+    qv = tvec_int * two_pi_L                        # (mB_, mK_, 3)
+    q2 = np.einsum("ijx,ijx->ij", qv, qv)
+    u = _call_correlator(correlator, q2, scalar_path=True)
+    cd = kcd_int * two_pi_L                          # (mK_, 3)
+    return -np.einsum("jx,ijx->ij", cd, qv) * u / ueg_model.Omega
 
 
 class OVVVPlan(NamedTuple):
@@ -268,9 +301,16 @@ def _pad_to(m):
 def build_block_ladder(ueg_model, correlator=None, dtype=np.float64,
                        bra="virtual", preslice=9, pad_sectors=1,
                        **integral_flags):
-    """Build a :class:`BlockLadder` (same weight classes as
-    :func:`build_ueg_ladder`; exact vs the dense block,
+    """Build a :class:`BlockLadder` (exact vs the dense block,
     ``tests/test_ueg_ladder.py``).
+
+    Weight classes: everything :func:`build_ueg_ladder` supports PLUS the
+    non-hermitian TC classes (``is_only_2b``, ``is_only_non_hermi_2b``) —
+    the rs-dependent term −(kp_c−kp_d)·q·u(q²)/Ω is not transfer-only, but
+    within a total-momentum sector it is a plain function of the (bra,
+    ket-pair) element, so it lands in the dense sector blocks at build
+    time with zero extra apply cost (VERDICT r2 task 6; reference keeps
+    this class dense-only, ``pymes/model/ueg.py:441-470``).
 
     ``preslice`` (int or None): attach ozaki slices of the sector blocks
     so applications run the sector matmuls through the sliced-MXU path;
@@ -300,13 +340,18 @@ def build_block_ladder(ueg_model, correlator=None, dtype=np.float64,
     K_ket = enc((k_ket[:, None, :] + k_ket[None, :, :]).reshape(-1, 3))
     K_bra = enc((k_bra[:, None, :] + k_bra[None, :, :]).reshape(-1, 3))
 
-    # weight table over the transfer cube t = k_c − k_p
+    # weight table over the transfer cube t = k_c − k_p.  Non-hermitian TC
+    # classes split into a transfer-only base + the (c,d)-dependent nh
+    # sector term added below (VERDICT r2 task 6).
+    base_flags, needs_nh = _nh_flags(integral_flags)
     tmax = int(np.abs(k_ket[:, None, :] - k_bra[None, :, :]).max())
     grid = np.arange(-tmax, tmax + 1)
     T3 = np.stack(np.meshgrid(grid, grid, grid, indexing="ij"),
                   axis=-1).reshape(-1, 3)
-    wtab = _transfer_weights(ueg_model, T3, correlator,
-                             **integral_flags).reshape(
+    wtab = _transfer_weights(ueg_model, T3,
+                             None if (needs_nh and not base_flags)
+                             else correlator,
+                             **(base_flags or {})).reshape(
         2 * tmax + 1, 2 * tmax + 1, 2 * tmax + 1)
 
     def w_of(tvec):
@@ -346,6 +391,10 @@ def build_block_ladder(ueg_model, correlator=None, dtype=np.float64,
             tvec = (k_ket[ket_ids // nv][None, :, :]
                     - k_bra[bra_ids // n_bra][:, None, :])
             blocks[t, :nb_, :nk_] = w_of(tvec)
+            if needs_nh:
+                kcd = k_ket[ket_ids // nv] - k_ket[ket_ids % nv]
+                blocks[t, :nb_, :nk_] += _sector_nh(ueg_model, tvec, kcd,
+                                                    correlator)
             perm_ket[t, :nk_] = ket_ids
             inv_bra[bra_ids] = col0 + t * mB + np.arange(nb_)
         groups.append(BlockGroup(blocks=jnp.asarray(blocks),
