@@ -69,8 +69,8 @@ def gmres(matvec, b, precond=None, tol=1e-5, restart=20, max_outer=20):
         sn0 = jnp.zeros((restart,), dtype)
         g0 = jnp.zeros((restart + 1,), dtype).at[0].set(beta)
 
-        def body(j, carry):
-            V, H, cs, sn, g = carry
+        def body(carry):
+            j, V, H, cs, sn, g = carry
             w = precond(matvec(V[j]))
             # modified Gram-Schmidt against all rows (rows > j are zero),
             # two passes — single-pass MGS loses orthogonality enough to
@@ -110,10 +110,19 @@ def gmres(matvec, b, precond=None, tol=1e-5, restart=20, max_outer=20):
             g = g.at[j + 1].set(-s * g[j])
             g = g.at[j].set(c * g[j])
             H = H.at[:, j].set(h)
-            return V, H, cs, sn, g
+            return j + 1, V, H, cs, sn, g
 
-        V, H, cs, sn, g = jax.lax.fori_loop(
-            0, restart, body, (V0, H0, cs0, sn0, g0))
+        def keep_going(carry):
+            # |g[j]| is the preconditioned residual norm of the current
+            # least-squares iterate — free early exit (a converged solve
+            # otherwise burns the full restart cycle of matvecs)
+            j = carry[0]
+            g = carry[5]
+            return (j < restart) & (jnp.abs(g[j]) > tol * safe_b)
+
+        j_fin, V, H, cs, sn, g = jax.lax.while_loop(
+            keep_going, body, (jnp.zeros((), jnp.int32), V0, H0, cs0,
+                               sn0, g0))
 
         # back-substitution of the triangular system R y = g
         def back(k, y):
@@ -122,14 +131,19 @@ def gmres(matvec, b, precond=None, tol=1e-5, restart=20, max_outer=20):
                 return acc + jnp.where(l > i, H[i, l] * y[l], 0.0)
             acc = jax.lax.fori_loop(0, restart, acc_fn,
                                     jnp.zeros((), dtype))
-            yi = (g[i] - acc) / jnp.where(jnp.abs(H[i, i]) > 1e-300,
-                                          H[i, i], 1.0)
+            # dead column (early exit / happy breakdown): its y must be 0 —
+            # g[i] there holds the residual norm, not a solvable entry
+            yi = jnp.where(jnp.abs(H[i, i]) > 1e-300,
+                           (g[i] - acc) / jnp.where(
+                               jnp.abs(H[i, i]) > 1e-300, H[i, i], 1.0),
+                           0.0)
             return y.at[i].set(yi)
 
         y = jax.lax.fori_loop(0, restart, back,
                               jnp.zeros((restart,), dtype))
         x = x0 + jnp.sum(y[:, None] * V[:restart], axis=0)
-        return x, jnp.abs(g[restart])
+        # on early exit the residual sits at g[j_fin], not g[restart]
+        return x, jnp.abs(g[j_fin])
 
     def cond(carry):
         _, res, it = carry

@@ -205,10 +205,12 @@ def blocks_ij_from(blocks: CCDBlocks):
     )
 
 
-@partial(jax.jit, static_argnames=("is_dcd", "is_bruekner", "contract_mode"))
+@partial(jax.jit, static_argnames=("is_dcd", "is_bruekner", "contract_mode",
+                                   "ring_mesh", "ring_axis"))
 def doubles_residual_ij(t_fock_ab, t_fock_ij, t_T_ijab, V: CCDBlocksIJ,
                         is_dcd=False, is_bruekner=False, t_T_ai=None,
-                        contract_mode="xla", abcd_presliced=None):
+                        contract_mode="xla", abcd_presliced=None,
+                        ring_mesh=None, ring_axis="a"):
     """CCD/DCD doubles residual in the occupied-leading layout.
 
     Same diagrams as :func:`doubles_residual` (reference
@@ -257,6 +259,15 @@ def doubles_residual_ij(t_fock_ab, t_fock_ij, t_T_ijab, V: CCDBlocksIJ,
             if W.shape[-1] != t.shape[-1]:  # all-bra plan: take vv corner
                 W = W[:, :, no_:, no_:]
             R = R + W
+    elif ring_mesh is not None:
+        # explicit-collective path in the occupied-leading layout: V
+        # row-sharded on a, T2 shards ride the ring (ppermute); the
+        # per-shard matmul runs on the integer MXU when the contraction
+        # mode is ozaki (distributed x fast path, VERDICT r2 task 3)
+        from pymes_tpu.parallel.ring_ladder import ring_ladder_inside_ij
+        opts = _ct.parse_mode(cm)
+        R = R + ring_ladder_inside_ij(V.abcd, t, ring_mesh, ring_axis,
+                                      n_slices=opts[0] if opts else None)
     elif abcd_presliced is not None:
         no_, nv = t.shape[1], t.shape[2]
         sb, eb = abcd_presliced  # slices of V.abcd^T, columns = (a,b)
@@ -370,10 +381,10 @@ def ccd_solve_jit(t_fock_pq, blocks: CCDBlocks, no, t_T0_abij,
     nv = eps_a0.shape[0]
 
     ij = layout == "ijab"
-    if ij and (is_dr_ccd or ring_mesh is not None
+    if ij and (is_dr_ccd
                or (blocks.abcd is None and blocks.ladder is None)):
-        raise ValueError("layout='ijab' requires the dense-abcd or "
-                         "matrix-free-ladder path")
+        raise ValueError("layout='ijab' requires the dense-abcd, "
+                         "matrix-free-ladder or ring path")
 
     # Ozaki mode: slice the loop-invariant nv^4 ladder block once, outside
     # the while_loop, so each iteration only slices the amplitudes.
@@ -431,7 +442,9 @@ def ccd_solve_jit(t_fock_pq, blocks: CCDBlocks, no, t_T0_abij,
             R = doubles_residual_ij(f_ab, f_ij, c.T, V_ij,
                                     is_dcd=is_dcd, is_bruekner=is_bruekner,
                                     contract_mode=contract_mode,
-                                    abcd_presliced=abcd_presliced)
+                                    abcd_presliced=abcd_presliced,
+                                    ring_mesh=ring_mesh,
+                                    ring_axis=ring_axis)
         else:
             R = doubles_residual(f_ab, f_ij, c.T, blocks,
                                  is_dcd=is_dcd, is_bruekner=is_bruekner,

@@ -87,7 +87,8 @@ class RT_EOM_CCSD(FEAST_EOM_CCSD):
                 ls_max_iter=self.ls_max_iter,
                 ls_conv_tol=self.ls_conv_tol,
                 hbar=self._get_hbar(f, dict_t_V_dressed, T2),
-                contract_mode=self._cm(), phases=phases)
+                contract_mode=self._cm(), phases=phases,
+                linear_solver=self._backend(dict_t_V_dressed))
             self._warn_unconverged(rel)
             Qe_all = np.asarray(xr) + 1j * np.asarray(xi)
             Q = (node_w[:, None] * Qe_all).sum(axis=0)

@@ -239,3 +239,133 @@ def test_block_ladder_sharded_over_sectors():
     plan0 = build_block_ladder(u)
     R0 = np.asarray(block_ladder_apply_ij(plan0, T))
     np.testing.assert_allclose(R_ref, R0, atol=1e-12)
+
+
+@needs_8
+def test_sharded_ccsd_lih_oracle_ozaki():
+    """Full T1-dressed CCSD solve with the V blocks and amplitudes sharded
+    over the virtual mesh, per-shard contractions on the integer-MXU
+    (ozaki) path — hits the published LiH/3-21G golden correlation energy
+    (VERDICT r2 task 3: distributed CCSD, fast path composed)."""
+    import os
+    from pymes_tpu.mean_field import hf
+    from pymes_tpu.solver import ccsd
+    from pymes_tpu.util import fcidump
+    from pymes_tpu.integral.partition import part_2_body_int
+
+    data = os.path.join(os.path.dirname(__file__), "data")
+    n_elec, nb, e_core, e_orb, h, V = fcidump.read(
+        os.path.join(data, "FCIDUMP.LiH.321g"))
+    no = n_elec // 2
+    fock = hf.construct_hf_matrix(no, h, V)
+    nv = nb - no
+    n_dev = pmesh.largest_dividing_mesh(nv, 8)
+    assert n_dev == 3          # nv = 9
+    m = pmesh.make_mesh(n_dev, axis_names=("a",))
+    dict_V = pmesh.shard_blocks(m, part_2_body_int(no, jnp.asarray(V)))
+
+    cc = ccsd.CCSD(no)
+    res = cc.solve(jnp.asarray(fock), dict_V, delta_e=1e-10, max_iter=100,
+                   contract_mode="ozaki:9:9")
+    assert abs(res["ccsd e"] - (-0.01908832712812761)) < 1e-8
+    assert np.abs(np.asarray(res["t1"])).max() > 1e-4   # genuinely T1 != 0
+
+
+@needs_8
+def test_sharded_mf_ccsd_noncanonical_ueg():
+    """Distributed MATRIX-FREE CCSD with genuine T1 != 0 (a non-canonical
+    fock perturbation drives the singles; momentum conservation keeps
+    T1 = 0 for any canonical UEG, twisted or not — and the twisted+noisy
+    system is too near-degenerate to converge, so the perturbation rides
+    the Gamma-point basis): the sector-sharded block ladder + ovvv gather
+    plans under an 8-device mesh must reproduce the single-device
+    dense-V CCSD solve."""
+    from jax.sharding import Mesh
+    from pymes_tpu.mean_field import hf
+    from pymes_tpu.models import ueg
+    from pymes_tpu.solver import ccsd
+    from pymes_tpu.ops.ueg_ladder import (build_block_ladder,
+                                          build_ovvv_plans,
+                                          shard_block_ladder)
+
+    u = ueg.UEG(14, 7, 7, 1.0)
+    u.init_single_basis(2)
+    no = 7
+    V = u.eval_2b_integrals()
+    fock = np.asarray(hf.construct_hf_matrix(
+        no, np.diag(u.kinetic_energies()), V))
+    rng = np.random.default_rng(5)
+    noise = rng.standard_normal(fock.shape) * 0.02
+    fock = fock + noise + noise.T
+
+    res_ref = ccsd.CCSD(no).solve(jnp.asarray(fock), jnp.asarray(V),
+                                  delta_e=1e-10, max_iter=100,
+                                  level_shift=-0.5)
+    assert np.abs(np.asarray(res_ref["t1"])).max() > 1e-4
+
+    mesh = Mesh(np.array(jax.devices()[:8]), ("s",))
+    plan = shard_block_ladder(
+        build_block_ladder(u, bra="all", pad_sectors=8), mesh, axis="s")
+    from pymes_tpu.integral.partition import part_2_body_int
+    dict_V = {k: v for k, v in part_2_body_int(
+        no, jnp.asarray(V)).items() if k not in ("abcd", "iabc", "aibc",
+                                                 "abic")}
+    dict_V["_ovvv_plans"] = build_ovvv_plans(u)
+    res = ccsd.CCSD(no).solve(jnp.asarray(fock), dict_V, delta_e=1e-10,
+                              max_iter=100, level_shift=-0.5, ladder=plan)
+    assert abs(res["ccsd e"] - res_ref["ccsd e"]) < 1e-8
+
+
+@needs_8
+def test_ring_ladder_ij_matches_dense_and_ozaki():
+    """Occupied-leading ring ladder (f64 and integer-MXU per-shard matmul)
+    equals the dense contraction (VERDICT r2 task 3: ring x ijab x ozaki
+    composition)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from pymes_tpu.parallel.ring_ladder import ring_ladder_inside_ij
+
+    rng = np.random.default_rng(0)
+    no, nv, n_dev = 3, 16, 4
+    V = rng.standard_normal((nv, nv, nv, nv))
+    T = rng.standard_normal((no, no, nv, nv))
+    want = np.einsum("abcd,ijcd->ijab", V, T)
+
+    m = pmesh.make_mesh(n_dev, axis_names=("a",))
+    V_sh = jax.device_put(jnp.asarray(V), NamedSharding(m, P("a")))
+    T_sh = jax.device_put(jnp.asarray(T),
+                          NamedSharding(m, P(None, None, "a")))
+    got = np.asarray(jax.jit(
+        lambda v, t: ring_ladder_inside_ij(v, t, m))(V_sh, T_sh))
+    assert np.abs(got - want).max() < 1e-12
+    got_oz = np.asarray(jax.jit(
+        lambda v, t: ring_ladder_inside_ij(v, t, m, n_slices=9))(V_sh, T_sh))
+    assert np.abs(got_oz - want).max() < 1e-11
+
+
+@needs_8
+def test_ring_ladder_ij_full_solve_oracle():
+    """Full CCD solve in the occupied-leading loop layout with the ladder
+    as the ring collective AND the per-shard matmul on the integer MXU —
+    hits the UEG golden energy (the previously-forbidden
+    ring x ijab x ozaki combination, solver/ccd.py gate lifted)."""
+    from pymes_tpu.mean_field import hf
+    from pymes_tpu.models import ueg
+    from pymes_tpu.solver import ccd
+
+    u = ueg.UEG(14, 7, 7, 0.5)
+    u.init_single_basis(5)
+    V = u.eval_2b_integrals()
+    no = 7
+    fock = np.asarray(hf.construct_hf_matrix(
+        no, np.diag(u.kinetic_energies()), V))
+    nv = V.shape[0] - no
+    n_dev = pmesh.largest_dividing_mesh(nv, 8)
+    m = pmesh.make_mesh(n_dev, axis_names=("a",))
+    from pymes_tpu.integral.partition import part_2_body_int
+    dict_V = pmesh.shard_blocks(m, part_2_body_int(no, V))
+
+    solver = ccd.CCD(no, is_diis=True)
+    res = solver.solve(jnp.asarray(fock), dict_V, level_shift=-1.0,
+                       max_iter=60, ring_mesh=m, ring_axis="a",
+                       layout="ijab", contract_mode="ozaki:9:9")
+    assert abs(res["ccd e"] - (-0.5120153512190824)) < 1e-6
