@@ -80,7 +80,7 @@ for cutoff in (int(os.environ.get("Q_CUT0", 5)),
                            n_quad=8, seed=11, n_excit=2, ls_conv_tol=1e-5)
         s.ls_backend = backend
         s.contract_mode = mode
-        s.ls_max_iter = 30
+        s.ls_max_iter = 40
         for run in ("cold", "warm"):
             t0 = time.time()
             ev = np.sort(np.real(s.solve(fock, Vd, T2)))
@@ -105,11 +105,11 @@ for cutoff in (int(os.environ.get("Q_CUT0", 5)),
     outs = {}
     for tag, backend, mode in (("inhouse+ozaki", "inhouse", "ozaki:7:6"),
                                ("jsp+xla", "jsp", "xla")):
-        r = RT_EOM_CCSD(no, e_c=gap, e_r=1.0, n_quad=16)
+        r = RT_EOM_CCSD(no, e_c=float(roots.mean()), e_r=1.0, n_quad=16)
         r.ls_backend = backend
         r.contract_mode = mode
         r.ls_max_iter = 40
-        r.ls_conv_tol = 1e-8
+        r.ls_conv_tol = 1e-6
         for run in ("cold", "warm"):
             t0 = time.time()
             q1, q2 = r.solve(fock, Vd, T2, dt=0.05, u_singles=u1,
