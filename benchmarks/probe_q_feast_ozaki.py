@@ -72,7 +72,7 @@ for cutoff in (int(os.environ.get("Q_CUT0", 5)),
           f"wall={time.time()-t0:.1f}s iters={dav.n_iterations}",
           flush=True)
     e_c = float(roots.mean())
-    e_r = float(roots.ptp() / 2 + 0.05)
+    e_r = float(np.ptp(roots) / 2 + 0.05)
     outs = {}
     for tag, backend, mode in (("inhouse+ozaki", "inhouse", "ozaki:7:6"),
                                ("jsp+xla", "jsp", "xla")):

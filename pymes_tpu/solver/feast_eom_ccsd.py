@@ -209,6 +209,11 @@ class FEAST_EOM_CCSD(EOM_CCSD):
         self.ls_conv_tol = float(ls_conv_tol)
         self.node_mesh = node_mesh    # shard quadrature nodes over a mesh
         self.node_axis = "a"
+        # cap on contour nodes fused into ONE device dispatch: a 16-node
+        # vmapped inhouse-GMRES+ozaki program crashed the axon TPU worker
+        # (probe_q round 3) while the 8-node FEAST program runs — chunk
+        # the batch host-side; None = no cap
+        self.max_nodes_per_dispatch = 8
         self.last_ls_residuals = None
         self.u_singles = []
         self.u_doubles = []
@@ -305,22 +310,31 @@ class FEAST_EOM_CCSD(EOM_CCSD):
         b_vec = np.asarray(b_vec, dtype=complex)
         b_pair = (jnp.asarray(b_vec.real), jnp.asarray(b_vec.imag))
         z_arr = np.asarray(z_arr)
-        z_pairs = (jnp.asarray(z_arr.real), jnp.asarray(z_arr.imag))
         diag = jnp.asarray(diag_vec)
-        if self.node_mesh is not None:
-            from pymes_tpu.parallel import sharding as psh
-            z_pairs = psh.shard_over_nodes(z_pairs, self.node_mesh,
-                                           axis=self.node_axis)
-            f, dict_t_V, T2, b_pair, diag = psh.replicate(
-                (f, dict_t_V, T2, b_pair, diag), self.node_mesh)
-        (xr, xi), rel_res = _shifted_solve_nodes(
-            f, dict_t_V, T2, b_pair, z_pairs, diag, self.no, nv,
-            ls_max_iter=self.ls_max_iter, ls_conv_tol=self.ls_conv_tol,
-            hbar=self._get_hbar(f, dict_t_V, T2),
-            contract_mode=self._cm(),
-            linear_solver=self._backend(dict_t_V))
-        self._warn_unconverged(rel_res)
-        return np.asarray(xr) + 1j * np.asarray(xi)
+        cap = getattr(self, "max_nodes_per_dispatch", None)
+        if self.node_mesh is not None or not cap:
+            cap = len(z_arr)
+        xs, rels = [], []
+        for lo in range(0, len(z_arr), cap):
+            z_c = z_arr[lo:lo + cap]
+            z_pairs = (jnp.asarray(z_c.real), jnp.asarray(z_c.imag))
+            f_c, V_c, T2_c, b_c, diag_c = f, dict_t_V, T2, b_pair, diag
+            if self.node_mesh is not None:
+                from pymes_tpu.parallel import sharding as psh
+                z_pairs = psh.shard_over_nodes(z_pairs, self.node_mesh,
+                                               axis=self.node_axis)
+                f_c, V_c, T2_c, b_c, diag_c = psh.replicate(
+                    (f, dict_t_V, T2, b_pair, diag), self.node_mesh)
+            (xr, xi), rel_res = _shifted_solve_nodes(
+                f_c, V_c, T2_c, b_c, z_pairs, diag_c, self.no, nv,
+                ls_max_iter=self.ls_max_iter, ls_conv_tol=self.ls_conv_tol,
+                hbar=self._get_hbar(f, dict_t_V, T2),
+                contract_mode=self._cm(),
+                linear_solver=self._backend(dict_t_V))
+            xs.append(np.asarray(xr) + 1j * np.asarray(xi))
+            rels.append(np.atleast_1d(np.asarray(rel_res)))
+        self._warn_unconverged(np.concatenate(rels))
+        return np.concatenate(xs, axis=0)
 
     def solve(self, t_fock_dressed_pq, dict_t_V_dressed, t_T_abij):
         """FEAST iteration (reference flow, ``feast_eom_ccsd.py:72-181``)."""

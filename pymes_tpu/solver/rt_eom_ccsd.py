@@ -78,19 +78,25 @@ class RT_EOM_CCSD(FEAST_EOM_CCSD):
             from pymes_tpu.solver.feast_eom_ccsd import _shifted_solve_nodes
             b_c = b.astype(complex)
             b_pair = (jnp.asarray(b_c.real), jnp.asarray(b_c.imag))
-            z_pairs = (jnp.asarray(z.real), jnp.asarray(z.imag))
             ph = np.exp(z)
-            phases = (jnp.asarray(ph.real), jnp.asarray(ph.imag))
-            (xr, xi), rel = _shifted_solve_nodes(
-                f, dict_t_V_dressed, T2, b_pair, z_pairs,
-                jnp.asarray(diag_vec), no, nv, is_rt=True, dt=dt,
-                ls_max_iter=self.ls_max_iter,
-                ls_conv_tol=self.ls_conv_tol,
-                hbar=self._get_hbar(f, dict_t_V_dressed, T2),
-                contract_mode=self._cm(), phases=phases,
-                linear_solver=self._backend(dict_t_V_dressed))
-            self._warn_unconverged(rel)
-            Qe_all = np.asarray(xr) + 1j * np.asarray(xi)
+            cap = getattr(self, "max_nodes_per_dispatch", None) or len(z)
+            Qs, rels = [], []
+            for lo in range(0, len(z), cap):
+                z_c, ph_c = z[lo:lo + cap], ph[lo:lo + cap]
+                z_pairs = (jnp.asarray(z_c.real), jnp.asarray(z_c.imag))
+                phases = (jnp.asarray(ph_c.real), jnp.asarray(ph_c.imag))
+                (xr, xi), rel = _shifted_solve_nodes(
+                    f, dict_t_V_dressed, T2, b_pair, z_pairs,
+                    jnp.asarray(diag_vec), no, nv, is_rt=True, dt=dt,
+                    ls_max_iter=self.ls_max_iter,
+                    ls_conv_tol=self.ls_conv_tol,
+                    hbar=self._get_hbar(f, dict_t_V_dressed, T2),
+                    contract_mode=self._cm(), phases=phases,
+                    linear_solver=self._backend(dict_t_V_dressed))
+                Qs.append(np.asarray(xr) + 1j * np.asarray(xi))
+                rels.append(np.atleast_1d(np.asarray(rel)))
+            self._warn_unconverged(np.concatenate(rels))
+            Qe_all = np.concatenate(Qs, axis=0)
             Q = (node_w[:, None] * Qe_all).sum(axis=0)
 
         q1 = Q[:n1].reshape(nv, no)
