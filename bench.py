@@ -101,12 +101,82 @@ def main():
     if abs(e - ORACLE_E) > 1e-6:
         log("WARNING: converged energy off the golden value!")
 
-    print(json.dumps({
+    # --- secondary, FLOP-bound metric (VERDICT r2 task 7): the nP=57
+    # primary is latency-bound (RESULTS.md), so round-over-round perf is
+    # also tracked at cutoff 14 (nP=219, ~95 GFLOP/residual) where the MXU
+    # does the work: one mf-CCD doubles residual, ozaki backend, with the
+    # achieved f64-effective and raw-MXU TFLOP/s from the exact padded
+    # sector-GEMM counts.
+    secondary = None
+    try:
+        from pymes_tpu.util import roofline
+
+        t0 = time.time()
+        u2 = ueg.UEG(14, 7, 7, 0.5)
+        u2.init_single_basis(14)
+        idx2, vals2 = u2.eval_2b_integrals(sp=2)
+        n_p2 = u2.n_spatial
+        nv2 = n_p2 - no
+        d2 = ueg.sparse_to_blocks(idx2, vals2, n_p2, no, names=NEED,
+                                  dtype=jnp.float64)
+        lad2 = build_block_ladder(u2)
+        log(f"secondary setup: nP={n_p2} ({time.time() - t0:.1f}s)")
+        blocks2 = ccd.CCDBlocksIJ(
+            klij=d2['klij'], ijab=d2['ijab'],
+            ijab_x=jnp.transpose(d2['ijab'], (0, 1, 3, 2)),
+            abij_t=jnp.transpose(d2['abij'], (2, 3, 0, 1)),
+            ikac=jnp.transpose(d2['iajb'], (2, 0, 1, 3)),
+            kjcb=jnp.transpose(d2['iabj'], (0, 3, 2, 1)),
+            abcd=None, ladder=lad2)
+        kin2 = jnp.asarray(u2.kinetic_energies())
+        eps_i2 = hf.calcOccupiedOrbE(kin2, d2['klij'], no)
+        eps_a2 = hf.calcVirtualOrbE(kin2, d2['aibj'], d2['aijb'], no, nv2)
+        f_ab = jnp.diag(eps_a2)
+        f_ij = jnp.diag(eps_i2)
+        _, T2g = mp2.solve(eps_i2, eps_a2, d2['ijab'], d2['abij'], -1.0)
+        T2g = jnp.transpose(T2g, (2, 3, 0, 1))  # ijab layout
+
+        mode = "ozaki:7:6"
+        res_fn = jax.jit(lambda t: ccd.doubles_residual_ij(
+            f_ab, f_ij, t, blocks2, contract_mode=mode))
+        t0 = time.time()
+        jax.block_until_ready(res_fn(T2g))
+        log(f"secondary compile+first: {time.time() - t0:.1f}s")
+        jax.block_until_ready(res_fn(T2g))
+        t0 = time.time()
+        n_rep = 20
+        out = None
+        for _ in range(n_rep):
+            out = res_fn(T2g)
+        jax.block_until_ready(out)
+        sec = (time.time() - t0) / n_rep
+        eff_lad = roofline.block_ladder_flops(lad2, no * no)
+        terms = roofline.ccd_iteration_flops(no, nv2, ladder_flops=eff_lad)
+        eff_tflops = terms["TOTAL"] / sec / 1e12
+        raw_tflops = 49 * terms["TOTAL"] / sec / 1e12  # S=7 slices
+        log(roofline.report("secondary mf-CCD residual nP=219", sec,
+                            terms["TOTAL"], 49 * terms["TOTAL"]))
+        secondary = {
+            "metric": "ueg14_rs0.5_c14_ccd_residual_wall",
+            "value": round(sec * 1e3, 2),
+            "unit": "ms/residual",
+            "eff_f64_tflops": round(eff_tflops, 2),
+            "raw_mxu_tflops": round(raw_tflops, 1),
+            "pct_v5e_bf16_peak": round(
+                100 * raw_tflops / roofline.V5E_BF16_TFLOPS, 1),
+        }
+    except Exception as exc:  # secondary must never break the driver line
+        log(f"secondary metric failed: {exc!r}")
+
+    out = {
         "metric": "ueg14_rs0.5_c5_ccd_f64_iter_wall",
         "value": round(per_iter_ms, 2),
         "unit": "ms/iteration",
         "vs_baseline": round(REF_CPU_MS_PER_ITER / per_iter_ms, 1),
-    }))
+    }
+    if secondary is not None:
+        out["secondary"] = secondary
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":
