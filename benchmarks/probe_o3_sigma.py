@@ -25,7 +25,7 @@ set_verbosity(-1)
 print("devices:", jax.devices(), flush=True)
 
 NEED = ('klij', 'ijab', 'abij', 'iajb', 'iabj', 'aibj', 'aijb',
-        'ijka', 'ijak', 'iajk')
+        'ijka', 'ijak', 'iajk', 'iabc', 'abic')
 u = ueg.UEG(14, 7, 7, 0.5)
 u.init_single_basis(int(os.environ.get("O3_CUT", 10)))
 no, n_p = 7, u.n_spatial

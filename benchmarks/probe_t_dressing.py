@@ -81,11 +81,23 @@ timeit("fock G_vv (2 ovvv gathers + traces)", lambda t: (
     - jnp.einsum("jabj->ab", ovvv_t1_apply(plans["ovv"], t))))
 timeit("fock G_vo+G_ov", lambda t: (
     2.0 * jnp.einsum("bj,ajib->ai", t, dict_V["aijb"])
-    - jnp.einsum("bj,ajbi->ai", t, dict_V["aibj"])
-    + 2.0 * jnp.einsum("ck,ikbc->ib", t, dict_V["ijab"])
-    - jnp.einsum("ck,ikcb->ib", t, dict_V["ijab"])
-    + 2.0 * jnp.einsum("bj,jabi->ia", t, dict_V["iabj"])
+    - jnp.einsum("bj,ajbi->ai", t, dict_V["aibj"]),
+    2.0 * jnp.einsum("ck,ikbc->ib", t, dict_V["ijab"])
+    - jnp.einsum("ck,ikcb->ib", t, dict_V["ijab"]),
+    2.0 * jnp.einsum("bj,jabi->ia", t, dict_V["iabj"])
     - jnp.einsum("bj,jiab->ia", t, dict_V["ijab"])))
+
+# skinny-contraction pathology check: the same matvec as einsum vs mul+sum
+timeit("skinny einsum bj,ajib->ai",
+       lambda t: jnp.einsum("bj,ajib->ai", t, dict_V["aijb"]))
+timeit("skinny mul+sum bj,ajib->ai",
+       lambda t: (dict_V["aijb"]
+                  * t.T[None, :, None, :]).sum(axis=(1, 3)))
+timeit("skinny einsum ak,kbij->abij (K=7)",
+       lambda t: jnp.einsum("ak,kbij->abij", t, dict_V["iajk"]))
+timeit("skinny mul+sum ak,kbij->abij (K=7)",
+       lambda t: (t[:, :, None, None, None]
+                  * dict_V["iajk"][None]).sum(axis=1))
 
 # --- each dressed V block, both modes ---
 keys = tuple(k for k in ccsd_mod.DOUBLES_DRESSED if k != "abcd")

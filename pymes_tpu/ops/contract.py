@@ -31,6 +31,21 @@ _MODE = "xla"
 _MIN_FLOPS = 1 << 24
 _MIN_K = 96
 
+# XLA's emulated-f64 dot lowering is ~60x off roofline when the dot is
+# SKINNY (probe G / probe T: a (1484,)-output matvec over K=1484 costs
+# ~4 ms where the data traffic is worth ~0.05 ms; a K=7 matmul likewise).
+# Two degenerate shapes are therefore lowered as broadcast mul+sum
+# (elementwise multiplies + tree reductions, which XLA emulates well):
+#  * short contracted axis (K <= _SUM_K_MAX): unrolled loop of K
+#    broadcast FMAs, temporary = one output buffer;
+#  * small output (<= _SUM_OUT_MAX elements) with the full product
+#    affordable (<= _SUM_TMP_MAX elements): one broadcast product,
+#    reduced over the contracted axes.
+# Real matmuls (big K AND big output) never take these paths.
+_SUM_K_MAX = 16
+_SUM_OUT_MAX = 1 << 16
+_SUM_TMP_MAX = 1 << 24
+
 
 def parse_mode(mode):
     """Validate a mode string; return (n_slices, t_cutoff) or None for xla."""
@@ -56,19 +71,51 @@ def get_mode():
 
 
 def _shape_stats(spec, a, b):
-    sa, sb, _, batch, fa, fb, con, dim = ozaki._plan(spec, a.shape, b.shape)
+    sa, sb, out, batch, fa, fb, con, dim = ozaki._plan(spec, a.shape,
+                                                       b.shape)
     k = int(np.prod([dim[c] for c in con], initial=1))
     flops = 2 * int(np.prod([dim[c] for c in set(sa + sb)], initial=1))
-    return k, flops
+    out_elems = int(np.prod([dim[c] for c in out], initial=1))
+    return k, flops, out_elems
+
+
+def _mulsum(spec, a, b):
+    """Broadcast mul+sum lowering of a single-contraction einsum (for the
+    skinny shapes XLA's emulated-f64 dot mishandles; gate in
+    :func:`contract`).  Short contracted axes unroll into K broadcast
+    FMAs (temporary = one output buffer); otherwise one broadcast product
+    is reduced over the contracted axes."""
+    sa, sb, out, batch, fa, fb, con, dim = ozaki._plan(spec, a.shape,
+                                                       b.shape)
+    order = out + "".join(con)
+    a_t = jnp.transpose(a, [sa.index(c) for c in order if c in sa])
+    b_t = jnp.transpose(b, [sb.index(c) for c in order if c in sb])
+    k = int(np.prod([dim[c] for c in con], initial=1))
+    if k <= _SUM_K_MAX:
+        a_t = a_t.reshape([dim[c] if c in sa else 1 for c in out] + [k])
+        b_t = b_t.reshape([dim[c] if c in sb else 1 for c in out] + [k])
+        acc = None
+        for i in range(k):
+            t = a_t[..., i] * b_t[..., i]
+            acc = t if acc is None else acc + t
+        return acc
+    a_t = a_t.reshape([dim[c] if c in sa else 1 for c in out]
+                      + [dim[c] for c in con])
+    b_t = b_t.reshape([dim[c] if c in sb else 1 for c in out]
+                      + [dim[c] for c in con])
+    n_out = len(out)
+    return (a_t * b_t).sum(axis=tuple(range(n_out, n_out + len(con))))
 
 
 def contract(spec, a, b, mode=None):
     """``jnp.einsum(spec, a, b)`` through the selected precision backend."""
     opts = parse_mode(_MODE if mode is None else mode)
-    if opts is not None and a.dtype == jnp.float64 \
-            and b.dtype == jnp.float64:
-        k, flops = _shape_stats(spec, a, b)
-        if k >= _MIN_K and flops >= _MIN_FLOPS:
+    if a.dtype == jnp.float64 and b.dtype == jnp.float64:
+        k, flops, out_elems = _shape_stats(spec, a, b)
+        if opts is not None and k >= _MIN_K and flops >= _MIN_FLOPS:
             return ozaki.einsum2(spec, a, b, n_slices=opts[0],
                                  t_cutoff=opts[1])
+        if k <= _SUM_K_MAX or (out_elems <= _SUM_OUT_MAX
+                               and flops // 2 <= _SUM_TMP_MAX):
+            return _mulsum(spec, a, b)
     return jnp.einsum(spec, a, b)

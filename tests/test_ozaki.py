@@ -108,3 +108,31 @@ def test_contract_dispatch():
             ct.set_mode("nope")
     finally:
         ct.set_mode("xla")
+
+
+def test_contract_mulsum_lowering():
+    """The skinny-shape mul+sum lowering (short K / small output) must be
+    exact vs np.einsum across its gate branches (probe_t pathology fix)."""
+    rng = np.random.default_rng(9)
+    cases = [
+        # short contracted axis (K=7 <= _SUM_K_MAX): unrolled FMA path
+        ("ak,kbij->abij", (40, 7), (7, 41, 6, 5)),
+        # small output over big K: product+reduce path
+        ("bj,ajib->ai", (50, 6), (40, 6, 5, 50)),
+        ("ck,ikjc->ij", (50, 6), (6, 6, 7, 50)),
+        # outer product (no contraction)
+        ("ai,bj->abij", (9, 5), (8, 6)),
+        # batch index present
+        ("kab,kbc->kac", (3, 10, 7), (3, 7, 9)),
+    ]
+    for spec, sha, shb in cases:
+        a = rng.standard_normal(sha)
+        b = rng.standard_normal(shb)
+        r0 = np.einsum(spec, a, b)
+        r1 = np.asarray(ct._mulsum(spec, jnp.asarray(a), jnp.asarray(b)))
+        assert np.abs(r1 - r0).max() <= 1e-12 * max(np.abs(r0).max(), 1.0), \
+            spec
+        # and through the public gate
+        r2 = np.asarray(ct.contract(spec, jnp.asarray(a), jnp.asarray(b)))
+        assert np.abs(r2 - r0).max() <= 1e-12 * max(np.abs(r0).max(), 1.0), \
+            spec
