@@ -61,10 +61,13 @@ def timeit(tag, fn, n=20):
     print(f"{tag}: {(time.time()-t0)/n*1e3:.2f} ms", flush=True)
 
 
-# --- ovvv gather plans alone ---
+# --- ovvv gather plans alone (trailing-j vs occupied-leading) ---
+from pymes_tpu.ops.ueg_ladder import ovvv_t1_apply_j
 for pat in ("vvo", "ovv", "vov"):
     timeit(f"ovvv_t1_apply[{pat}]",
            lambda t, p=pat: ovvv_t1_apply(plans[p], t))
+    timeit(f"ovvv_t1_apply_j[{pat}]",
+           lambda t, p=pat: ovvv_t1_apply_j(plans[p], t))
 
 # --- dressed fock, whole and by mode ---
 for mode in ("xla", "ozaki:7:6"):

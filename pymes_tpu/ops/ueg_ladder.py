@@ -146,6 +146,23 @@ def ovvv_t1_apply(plan: OVVVPlan, T1):
     return Tg * plan.W[:, None, :, None]
 
 
+def ovvv_t1_apply_j(plan: OVVVPlan, T1):
+    """Occupied-leading variant: ``out[j,p,q,r] = Σ_s V[p,q,r,s] T1[s,j]``.
+
+    Gathering rows of length no=7 into a TRAILING axis pads ~18× under
+    the TPU (8,128) lane tiling (probe_t: 2.6–3.9 ms per gather at
+    nP=219); with j leading, the gather runs along the last axis of
+    ``T1.T`` and the big orbital dims stay trailing (~1.1× padding).
+    Chain-style consumers (the T1 dressing) are layout-agnostic."""
+    T1 = jnp.asarray(T1)
+    nv = T1.shape[0]
+    S = plan.S
+    flat = jnp.clip(S, 0, nv - 1).ravel()
+    Tg = jnp.take(T1.T, flat, axis=1).reshape((T1.shape[1],) + S.shape)
+    Tg = jnp.where((S >= 0)[None], Tg, 0.0)
+    return Tg * plan.W[None, :, None, :]
+
+
 def build_ueg_ladder(ueg_model, correlator=None, dtype=np.float64,
                      bra="virtual", **integral_flags):
     """Build the ladder plan from a UEG model.

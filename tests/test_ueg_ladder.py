@@ -368,3 +368,19 @@ def test_ueg_ccd_non_hermitian_matrix_free_matches_dense():
     t_scale = max(1.0, np.abs(t_dense).max())
     assert np.abs(np.asarray(res_mf["t2 amp"])
                   - t_dense).max() < 1e-10 * t_scale
+
+
+def test_ovvv_gather_j_leading_matches():
+    """Occupied-leading ovvv gather must equal the trailing-j original."""
+    from pymes_tpu.ops.ueg_ladder import (build_ovvv_plans, ovvv_t1_apply,
+                                          ovvv_t1_apply_j)
+    u = ueg.UEG(14, 7, 7, 1.0)
+    u.init_single_basis(2)
+    plans = build_ovvv_plans(u)
+    rng = np.random.default_rng(3)
+    nv = u.n_spatial - 7
+    T1 = rng.standard_normal((nv, 7))
+    for pat, plan in plans.items():
+        a = np.asarray(ovvv_t1_apply(plan, T1))
+        b = np.asarray(ovvv_t1_apply_j(plan, T1))
+        assert np.abs(np.moveaxis(b, 0, -1) - a).max() < 1e-14, pat
