@@ -198,3 +198,47 @@ def test_solver_api_defaults_to_ij_layout_and_oracle():
     assert abs(res_auto["ccd e"] - res_abij["ccd e"]) < 1e-9
     np.testing.assert_allclose(np.asarray(res_auto["t2 amp"]),
                                np.asarray(res_abij["t2 amp"]), atol=1e-8)
+
+
+def test_singles_residual_ij_matches_abij():
+    """singles_residual_ij (no abij-layout temporary) is element-exact vs
+    the abij-layout form, with a dense ovvv block present."""
+    from pymes_tpu.solver import ccsd
+    no, nv = 3, 7
+    n = no + nv
+    rng = np.random.default_rng(21)
+    V = rng.standard_normal((n, n, n, n)) * 0.05
+    V = V + V.transpose(1, 0, 3, 2)
+    dv = {"ijab": jnp.asarray(V[:no, :no, no:, no:]),
+          "ijka": jnp.asarray(V[:no, :no, :no, no:]),
+          "aibc": jnp.asarray(V[no:, :no, no:, no:])}
+    fd = jnp.asarray(rng.standard_normal((n, n)) * 0.1)
+    T1 = jnp.asarray(rng.standard_normal((nv, no)) * 0.03)
+    T2 = jnp.asarray(rng.standard_normal((nv, nv, no, no)) * 0.02)
+    R_ab = ccsd.singles_residual(fd, T1, T2, dv)
+    R_ij = ccsd.singles_residual_ij(fd, T1, jnp.transpose(T2, (2, 3, 0, 1)),
+                                    dv)
+    np.testing.assert_allclose(np.asarray(R_ab), np.asarray(R_ij),
+                               rtol=0, atol=1e-13)
+
+
+def test_dressed_block_out_perm_and_skip_identity():
+    """out_perm permutes the dressed output; skip_identity drops exactly
+    the T1-free term (so hoisted-base + corrections == full dressing)."""
+    from pymes_tpu.solver import ccsd
+    no, nv = 3, 6
+    n = no + nv
+    rng = np.random.default_rng(22)
+    V = rng.standard_normal((n, n, n, n)) * 0.05
+    from pymes_tpu.integral.partition import part_2_body_int
+    dv = dict(part_2_body_int(no, jnp.asarray(V)))
+    T1 = jnp.asarray(rng.standard_normal((nv, no)) * 0.04)
+    full = ccsd.dressed_block("abij", dv, T1)
+    perm = ccsd.dressed_block("abij", dv, T1, out_perm=(2, 3, 0, 1))
+    np.testing.assert_allclose(np.asarray(full).transpose(2, 3, 0, 1),
+                               np.asarray(perm), rtol=0, atol=1e-14)
+    corr = ccsd.dressed_block("abij", dv, T1, out_perm=(2, 3, 0, 1),
+                              skip_identity=True)
+    base = jnp.transpose(dv["abij"], (2, 3, 0, 1))
+    np.testing.assert_allclose(np.asarray(base + corr), np.asarray(perm),
+                               rtol=0, atol=1e-14)
