@@ -137,17 +137,29 @@ def main():
         T2g = jnp.transpose(T2g, (2, 3, 0, 1))  # ijab layout
 
         mode = "ozaki:7:6"
-        res_fn = jax.jit(lambda t: ccd.doubles_residual_ij(
-            f_ab, f_ij, t, blocks2, contract_mode=mode))
+        S = 7
+        from pymes_tpu.ops.ueg_ladder import preslice_block_ladder
+        blocks2 = blocks2._replace(
+            sliced=ccd.preslice_ring_blocks(blocks2, S),
+            ladder_presliced=preslice_block_ladder(lad2, S))
+        # pass EVERYTHING as jit args: closed-over 30 MB blocks become
+        # graph constants and XLA's compile-time constant folder chews
+        # through them for minutes (benchmarks/probe_w2_args.py)
+        res_jit = jax.jit(
+            ccd.doubles_residual_ij,
+            static_argnames=("is_dcd", "is_bruekner", "contract_mode",
+                             "ring_mesh", "ring_axis"))
         t0 = time.time()
-        jax.block_until_ready(res_fn(T2g))
+        jax.block_until_ready(res_jit(f_ab, f_ij, T2g, blocks2,
+                                      contract_mode=mode))
         log(f"secondary compile+first: {time.time() - t0:.1f}s")
-        jax.block_until_ready(res_fn(T2g))
+        jax.block_until_ready(res_jit(f_ab, f_ij, T2g, blocks2,
+                                      contract_mode=mode))
         t0 = time.time()
         n_rep = 20
         out = None
         for _ in range(n_rep):
-            out = res_fn(T2g)
+            out = res_jit(f_ab, f_ij, T2g, blocks2, contract_mode=mode)
         jax.block_until_ready(out)
         sec = (time.time() - t0) / n_rep
         eff_lad = roofline.block_ladder_flops(lad2, no * no)

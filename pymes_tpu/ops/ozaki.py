@@ -100,6 +100,34 @@ def slice_rows(a, n_slices):
     return s, e[:, 0]
 
 
+def slice_tensor(x, n_slices):
+    """Slice a whole tensor against ONE global scale.
+
+    Returns ``(slices, e)`` with ``slices`` of shape ``(n_slices,) + x.shape``
+    and a scalar int32 ``e`` such that
+    ``x = 2.**e * sum_s slices[s] * RADIX**-(s+1)`` up to the usual tail.
+
+    Unlike :func:`slice_rows`/:func:`slice_cols` the representation is
+    *layout-independent*: any transpose/reshape of the slice stack is a
+    valid slicing of the transposed tensor, so one slicing serves every
+    index order a contraction needs (the per-row scale ties slices to one
+    specific matrix view).  The price is accuracy relative to the GLOBAL
+    max instead of the row max — for CC amplitudes/integrals (dynamic
+    range ≲ 2¹⁰) that costs ~2 of the ``6*n_slices`` mantissa bits.
+    """
+    amax = jnp.max(jnp.abs(x))
+    _, e = jnp.frexp(amax.astype(jnp.float32))
+    e = jnp.where(amax > 0, e, 0).astype(jnp.int32)
+    y = x * _pow2(-e)
+    slices = []
+    for _ in range(n_slices):
+        y = y * RADIX
+        q = jnp.trunc(y)
+        slices.append(q.astype(jnp.bfloat16))
+        y = y - q
+    return jnp.stack(slices), e
+
+
 def slice_cols(b, n_slices):
     """Pre-slice the right operand (scales per column). b: (K, N) f64."""
     s, e = _slice_scaled(b, n_slices, axis=0)
@@ -134,6 +162,14 @@ def _pair_dot(a8, b8):
         p = _slice_dot_f32(a8[:, lo:hi], b8[lo:hi, :]).astype(jnp.float64)
         acc = p if acc is None else acc + p
     return acc
+
+
+def _scale_outer(acc, ea, eb):
+    """``acc * 2**(ea ⊕ eb)`` for exponents that are per-row/col vectors
+    (shape (M,)/(N,)) or global scalars (0-d, from :func:`slice_tensor`)."""
+    ea = ea[:, None] if ea.ndim == 1 else ea
+    eb = eb[None, :] if eb.ndim == 1 else eb
+    return acc * _pow2(ea + eb)
 
 
 # below this many columns (rows), the N-stacked (M-stacked) fast path is
@@ -175,7 +211,7 @@ def matmul_presliced(sa, ea, sb, eb, t_cutoff):
             # lowering is ~60x off roofline on TPU (probe G)
             term = (c * scale[None, :, None]).sum(axis=1)
             acc = term if acc is None else acc + term
-        return acc * _pow2(ea[:, None] + eb[None, :])
+        return _scale_outer(acc, ea, eb)
     if m_dim * n_slices <= _STACK_MAX and m_dim < n_dim:
         # stationary B: A slices stacked along M
         a_cat = sa.reshape(n_slices * m_dim, sa.shape[2])
@@ -188,20 +224,27 @@ def matmul_presliced(sa, ea, sb, eb, t_cutoff):
                  for i in range(n_slices)], jnp.float64)
             term = (c * scale[:, None, None]).sum(axis=0)
             acc = term if acc is None else acc + term
-        return acc * _pow2(ea[:, None] + eb[None, :])
+        return _scale_outer(acc, ea, eb)
 
     acc = None
     for d in range(t_max + 1):
         pairs = [(i, d - i)
                  for i in range(max(0, d - n_slices + 1),
                                 min(d, n_slices - 1) + 1)]
-        dmat = None
-        for i, j in pairs:
-            p = _pair_dot(sa[i], sb[j])
-            dmat = p if dmat is None else dmat + p
+        if len(pairs) == 1:
+            dmat = _pair_dot(sa[pairs[0][0]], sb[pairs[0][1]])
+        else:
+            # fuse the whole diagonal into ONE dot by concatenating the
+            # participating slices along K: per-chunk f32 sums stay exact
+            # across pair boundaries (products <= 63^2, <= _F32_CHUNK of
+            # them < 2^24), and the f64 accumulation traffic drops from
+            # one output-sized add per PAIR to one per K-chunk
+            a_cat = jnp.concatenate([sa[i] for i, _ in pairs], axis=1)
+            b_cat = jnp.concatenate([sb[j] for _, j in pairs], axis=0)
+            dmat = _pair_dot(a_cat, b_cat)
         term = dmat * (2.0 ** (-SLICE_BITS * (d + 2)))
         acc = term if acc is None else acc + term
-    return acc * _pow2(ea[:, None] + eb[None, :])
+    return _scale_outer(acc, ea, eb)
 
 
 @partial(jax.jit, static_argnames=("n_slices", "t_cutoff"))
@@ -234,6 +277,86 @@ def _plan(spec, a_shape, b_shape):
     return sa, sb, out, batch, free_a, free_b, contracted, dim
 
 
+def _transpose_grouped(x, perm):
+    """``jnp.transpose(x, perm)`` via maximal contiguous runs: collapse
+    each run of consecutive source axes with ``reshape`` (free), transpose
+    the collapsed dims, reshape back.  A 4-D transpose whose output
+    carries tiny trailing axes materializes in the (8, 128)-tiled layout
+    at up to ~20× padding (e.g. ``ijcd->cdij`` at no=7); the collapsed
+    2-D form pads only the last run."""
+    runs = [[perm[0]]]
+    for p in perm[1:]:
+        if p == runs[-1][-1] + 1:
+            runs[-1].append(p)
+        else:
+            runs.append([p])
+    if len(runs) == len(perm):
+        return jnp.transpose(x, perm)
+    # collapse: source order of the runs
+    src_order = sorted(range(len(runs)), key=lambda r: runs[r][0])
+    collapsed = [int(np.prod([x.shape[ax] for ax in runs[r]]))
+                 for r in src_order]
+    y = x.reshape(collapsed)
+    y = jnp.transpose(y, [src_order.index(r) for r in range(len(runs))])
+    return y.reshape([x.shape[ax] for r in runs for ax in r])
+
+
+def _as_matrix_slices(op, idx, groups, n_slices, is_left):
+    """Bring one einsum operand into (S, rows, cols) sliced form.
+
+    ``op`` is either a plain f64 array (sliced here, per-row/col scales)
+    or a ``(slices, e)`` pair from :func:`slice_tensor` (global scale —
+    the stack is transposed in bf16, ~4× cheaper than transposing f64
+    and re-running the trunc chain).
+    """
+    rows, cols = groups
+    if isinstance(op, tuple):
+        s, e = op
+        perm = [0] + [1 + idx.index(c) for c in rows + cols]
+        st = _transpose_grouped(s, perm)
+        m = int(np.prod([s.shape[1 + idx.index(c)] for c in rows],
+                        initial=1))
+        k = int(np.prod([s.shape[1 + idx.index(c)] for c in cols],
+                        initial=1))
+        return st.reshape(s.shape[0], m, k), e
+    t = _transpose_grouped(op, [idx.index(c) for c in rows + cols])
+    m = int(np.prod([op.shape[idx.index(c)] for c in rows], initial=1))
+    k = int(np.prod([op.shape[idx.index(c)] for c in cols], initial=1))
+    t = t.reshape(m, k)
+    return slice_rows(t, n_slices) if is_left else slice_cols(t, n_slices)
+
+
+def einsum2_sliced(spec, a, b, n_slices=9, t_cutoff=9):
+    """``jnp.einsum(spec, a, b)`` where either operand may arrive
+    pre-sliced (a ``(slices, e)`` pair from :func:`slice_tensor`).
+
+    This is the shared-slice entry point for the CC residual engines:
+    loop-invariant integral blocks are sliced ONCE at setup and the
+    amplitudes ONCE per iteration — the per-contraction trunc chain
+    (~3 ms per 1484² operand on v5e, as expensive as the GEMM itself)
+    disappears from the hot path.  No batch indices (none occur in the
+    residuals); falls back to :func:`einsum2` semantics otherwise.
+    """
+    a_shape = a[0].shape[1:] if isinstance(a, tuple) else a.shape
+    b_shape = b[0].shape[1:] if isinstance(b, tuple) else b.shape
+    sa_idx, sb_idx, out, batch, fa, fb, con, dim = _plan(spec, a_shape,
+                                                         b_shape)
+    if batch:
+        raise NotImplementedError(
+            f"einsum2_sliced does not support batch indices: {spec}")
+    # a plain operand is sliced to the same depth as its pre-sliced
+    # partner (matmul_presliced pairs slices index-by-index)
+    for op in (a, b):
+        if isinstance(op, tuple):
+            n_slices = op[0].shape[0]
+    sa, ea = _as_matrix_slices(a, sa_idx, (fa, con), n_slices, True)
+    sb, eb = _as_matrix_slices(b, sb_idx, (con, fb), n_slices, False)
+    c = matmul_presliced(sa, ea, sb, eb, t_cutoff)
+    c = c.reshape([dim[ch] for ch in fa + fb])
+    order = [(fa + fb).index(ch) for ch in out]
+    return _transpose_grouped(c, order)
+
+
 def einsum2(spec, a, b, n_slices=9, t_cutoff=9):
     """``jnp.einsum(spec, a, b)`` computed through the Ozaki matmul.
 
@@ -245,8 +368,8 @@ def einsum2(spec, a, b, n_slices=9, t_cutoff=9):
     k = int(np.prod([dim[c] for c in con], initial=1))
     n = int(np.prod([dim[c] for c in fb], initial=1))
 
-    at = jnp.transpose(a, [sa.index(c) for c in batch + fa + con])
-    bt = jnp.transpose(b, [sb.index(c) for c in batch + con + fb])
+    at = _transpose_grouped(a, [sa.index(c) for c in batch + fa + con])
+    bt = _transpose_grouped(b, [sb.index(c) for c in batch + con + fb])
     at = at.reshape(szb + [m, k])
     bt = bt.reshape(szb + [k, n])
 

@@ -190,6 +190,8 @@ class CCDBlocksIJ(NamedTuple):
     ladder_W: object = None  # optional precomputed all-bra W[i,j,p,q]
     ladder_presliced: object = None  # optional ozaki slices of the
     #   BlockLadder sector blocks (preslice_block_ladder)
+    sliced: object = None  # optional {"ijab"/"ikac"/"kjcb": slice_tensor}
+    #   global-scale ozaki slices of the ring blocks (preslice_ring_blocks)
 
 
 def blocks_ij_from(blocks: CCDBlocks):
@@ -203,6 +205,21 @@ def blocks_ij_from(blocks: CCDBlocks):
         abcd=blocks.abcd,
         ladder=blocks.ladder,
     )
+
+
+def preslice_ring_blocks(V_ij: CCDBlocksIJ, n_slices):
+    """Global-scale ozaki slices of the ring blocks (slice ONCE per solve
+    — or once per iteration for T1-dressed blocks — instead of inside
+    every contraction; the trunc chain costs as much as the GEMM it
+    feeds, ``benchmarks/probe_v_rings.py``)."""
+    return {"ijab": ozaki.slice_tensor(V_ij.ijab, n_slices),
+            "ikac": ozaki.slice_tensor(V_ij.ikac, n_slices),
+            "kjcb": ozaki.slice_tensor(V_ij.kjcb, n_slices)}
+
+
+# engage the shared-slice ring engine only where slicing overhead beats
+# the per-contraction dispatch (tiny test problems stay on `contract`)
+_SLICED_MIN_OV = 512
 
 
 @partial(jax.jit, static_argnames=("is_dcd", "is_bruekner", "contract_mode",
@@ -228,12 +245,32 @@ def doubles_residual_ij(t_fock_ab, t_fock_ij, t_T_ijab, V: CCDBlocksIJ,
     t = t_T_ijab
     tilde = 2.0 * t - jnp.transpose(t, (0, 1, 3, 2))  # 2T - T^(a<->b)
 
+    # shared-slice ring engine: V blocks arrive pre-sliced (or are sliced
+    # here once), T/tilde are sliced once and every ring GEMM consumes the
+    # stacks directly — transposes happen on bf16 slices, never on f64
+    opts = _ct.parse_mode(cm)
+    if opts is not None and t.shape[0] * t.shape[2] >= _SLICED_MIN_OV:
+        S, tcut = opts
+        sl = V.sliced or {}
+        Vs = sl.get("ijab") or ozaki.slice_tensor(V.ijab, S)
+        Viks = sl.get("ikac") or ozaki.slice_tensor(V.ikac, S)
+        Vkjs = sl.get("kjcb") or ozaki.slice_tensor(V.kjcb, S)
+        t_s = ozaki.slice_tensor(t, S)
+        tilde_s = ozaki.slice_tensor(tilde, S)
+
+        def cs(spec, x, y):
+            return ozaki.einsum2_sliced(spec, x, y, n_slices=S,
+                                        t_cutoff=tcut)
+    else:
+        Vs, Viks, Vkjs, t_s, tilde_s = V.ijab, V.ikac, V.kjcb, t, tilde
+        cs = c2
+
     I_klij = V.klij
     if not is_dcd:
-        I_klij = I_klij + c2("klcd,ijcd->klij", V.ijab, t)
+        I_klij = I_klij + cs("klcd,ijcd->klij", Vs, t_s)
 
     R = V.abij_t
-    R = R + c2("klij,klab->ijab", I_klij, t)
+    R = R + cs("klij,klab->ijab", I_klij, t_s)
 
     # particle-particle ladder: R_ij,ab += T_ij,cd V_ab,cd
     if V.ladder is not None:
@@ -279,27 +316,27 @@ def doubles_residual_ij(t_fock_ab, t_fock_ij, t_T_ijab, V: CCDBlocksIJ,
         R = R + c2("ijcd,abcd->ijab", t, V.abcd)
 
     if not is_dcd:
-        X_ljac = c2("klcd,kjad->ljac", V.ijab, t)
-        R = R + c2("ljac,ilcb->ijab", X_ljac, t)
+        X_ljac = cs("klcd,kjad->ljac", Vs, t_s)
+        R = R + cs("ljac,ilcb->ijab", X_ljac, t_s)
 
     # quadratic ring with spin-adapted amplitudes
-    X_kjcb = c2("klcd,ljdb->kjcb", V.ijab, tilde)
-    R = R + c2("ikac,kjcb->ijab", tilde, X_kjcb)
+    X_kjcb = cs("klcd,ljdb->kjcb", Vs, tilde_s)
+    R = R + cs("ikac,kjcb->ijab", tilde_s, X_kjcb)
 
     coeff = (0.0 if is_bruekner else 0.5) + (0.0 if is_dcd else 0.5)
-    X_ac = t_fock_ab - coeff * c2("klad,lkdc->ac", tilde, V.ijab)
-    X_ki = t_fock_ij + coeff * c2("ilcd,lkdc->ki", tilde, V.ijab)
+    X_ac = t_fock_ab - coeff * cs("klad,lkdc->ac", tilde_s, Vs)
+    X_ki = t_fock_ij + coeff * cs("ilcd,lkdc->ki", tilde_s, Vs)
 
-    Ex = c2("ac,ijcb->ijab", X_ac, t)
-    Ex = Ex - c2("ki,kjab->ijab", X_ki, t)
-    Ex = Ex - c2("ikac,kjcb->ijab", V.ikac, t)
-    Ex = Ex - c2("ikbc,kjac->ijab", V.ikac, t)
-    Ex = Ex + c2("ikac,kjcb->ijab", tilde, V.kjcb)
+    Ex = cs("ac,ijcb->ijab", X_ac, t_s)
+    Ex = Ex - c2("ki,kjab->ijab", X_ki, t)  # K=no: stays on mulsum
+    Ex = Ex - cs("ikac,kjcb->ijab", Viks, t_s)
+    Ex = Ex - cs("ikbc,kjac->ijab", Viks, t_s)
+    Ex = Ex + cs("ikac,kjcb->ijab", tilde_s, Vkjs)
 
     if not is_dcd:
-        X_lica = c2("klcd,kida->lica", V.ijab, t)
-        Ex = Ex - c2("lica,ljcb->ijab", X_lica, t)
-        Ex = Ex + c2("lica,ljbc->ijab", X_lica, t)
+        X_lica = cs("klcd,kida->lica", Vs, t_s)
+        Ex = Ex - cs("lica,ljcb->ijab", X_lica, t_s)
+        Ex = Ex + cs("lica,ljbc->ijab", X_lica, t_s)
 
     R = R + Ex + jnp.transpose(Ex, (1, 0, 3, 2))  # P(ab,ij)
     return R
@@ -412,6 +449,12 @@ def ccd_solve_jit(t_fock_pq, blocks: CCDBlocks, no, t_T0_abij,
                 # sector blocks onto the integer MXU here
                 V_ij = V_ij._replace(ladder_presliced=preslice_block_ladder(
                     blocks.ladder, _ct.parse_mode(contract_mode)[0]))
+        if (_ct.parse_mode(contract_mode) is not None
+                and no * nv >= _SLICED_MIN_OV
+                and blocks.ijab.dtype == jnp.float64):
+            # ring blocks are loop-invariant: slice once per solve
+            V_ij = V_ij._replace(sliced=preslice_ring_blocks(
+                V_ij, _ct.parse_mode(contract_mode)[0]))
         t_T0 = jnp.transpose(t_T0_abij, (2, 3, 0, 1))
         e0_dir, e0_exc = ccd_energy_ij(t_T0, V_ij.ijab, V_ij.ijab_x)
     else:

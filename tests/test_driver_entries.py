@@ -18,8 +18,11 @@ def test_bench_main_emits_json(capsys):
     out = capsys.readouterr().out.strip().splitlines()
     assert len(out) == 1
     rec = json.loads(out[0])
-    assert set(rec) == {"metric", "value", "unit", "vs_baseline"}
+    assert {"metric", "value", "unit", "vs_baseline"} <= set(rec)
+    assert set(rec) <= {"metric", "value", "unit", "vs_baseline", "secondary"}
     assert rec["value"] > 0 and rec["vs_baseline"] > 0
+    if "secondary" in rec:  # FLOP-bound roofline metric (may fail softly)
+        assert rec["secondary"]["value"] > 0
 
 
 def test_entry_compiles():
