@@ -81,11 +81,17 @@ for mode in ("xla", "ozaki:7:6"):
         fock, Vd, h, u1, u2, T2, contract_mode=m))
     timeit(f"sigma k=2 [{mode}]", sig, U1, U2)
 
-    # 2. full fused step
+    # 2. full fused step (packed host IO signature)
+    hp = jnp.concatenate([v_pad, e_new[None, :],
+                          jnp.zeros_like(v_pad)], axis=0)
     fs = jax.jit(lambda UU, WW, m=mode, h=hb: eom_ccsd._davidson_fused_step(
-        fock, Vd, h, T2, UU, WW, v_pad, e_new, diag, k, no, nv,
+        fock, Vd, h, T2, UU, WW, hp, diag, k, no, nv,
         contract_mode=m))
     timeit(f"fused step [{mode}]", fs, U, W)
+    fsc = jax.jit(lambda UU, WW, m=mode, h=hb: eom_ccsd._davidson_fused_step(
+        fock, Vd, h, T2, UU, WW, hp, diag, k, no, nv,
+        contract_mode=m, collapse=True))
+    timeit(f"fused step+collapse [{mode}]", fsc, U, W)
 
 # 3. the non-sigma machinery alone
 timeit("orth_append", lambda R: eom_ccsd._orth_append(U, R),

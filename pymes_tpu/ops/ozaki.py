@@ -152,16 +152,32 @@ def _slice_dot_f32(a8, b8):
 
 
 def _pair_dot(a8, b8):
-    """Exact f64 product of two slice matrices (K-chunked f32 dots)."""
+    """Exact f64 product of two slice matrices (K-chunked f32 dots).
+
+    A few chunks unroll; long K (the small-output projections contract
+    no·nv² ≈ 3·10⁵) runs ONE batched dot over zero-padded chunks instead
+    of ~75 sliced dots."""
     k = a8.shape[1]
     if k <= _F32_CHUNK:
         return _slice_dot_f32(a8, b8).astype(jnp.float64)
-    acc = None
-    for lo in range(0, k, _F32_CHUNK):
-        hi = min(k, lo + _F32_CHUNK)
-        p = _slice_dot_f32(a8[:, lo:hi], b8[lo:hi, :]).astype(jnp.float64)
-        acc = p if acc is None else acc + p
-    return acc
+    n_ch = -(-k // _F32_CHUNK)
+    if n_ch <= 4:
+        acc = None
+        for lo in range(0, k, _F32_CHUNK):
+            hi = min(k, lo + _F32_CHUNK)
+            p = _slice_dot_f32(a8[:, lo:hi],
+                               b8[lo:hi, :]).astype(jnp.float64)
+            acc = p if acc is None else acc + p
+        return acc
+    m, n = a8.shape[0], b8.shape[1]
+    kp = n_ch * _F32_CHUNK
+    a_p = jnp.pad(a8, ((0, 0), (0, kp - k)))
+    b_p = jnp.pad(b8, ((0, kp - k), (0, 0)))
+    a3 = jnp.transpose(a_p.reshape(m, n_ch, _F32_CHUNK), (1, 0, 2))
+    b3 = b_p.reshape(n_ch, _F32_CHUNK, n)
+    c = jax.lax.dot_general(a3, b3, (((2,), (1,)), ((0,), (0,))),
+                            preferred_element_type=jnp.float32)
+    return c.astype(jnp.float64).sum(axis=0)
 
 
 def _scale_outer(acc, ea, eb):

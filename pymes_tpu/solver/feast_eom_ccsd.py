@@ -27,6 +27,7 @@ from scipy.linalg import eig
 from pymes_tpu.log import print_logging_info, print_title
 from pymes_tpu.solver.eom_ccsd import (EOM_CCSD, build_hbar,
                                        get_diag_doubles, get_diag_singles,
+                                       preslice_sigma_hbar,
                                        sigma_doubles, sigma_doubles_hbar,
                                        sigma_singles, sigma_singles_hbar)
 
@@ -45,7 +46,7 @@ def normalize_amps(u_singles, u_doubles):
 def _shifted_solve_impl(f, dict_t_V, T2, b_pair, z_pair, diag_vec, no, nv,
                         is_rt=False, dt=0.0, ls_max_iter=20, restart=20,
                         ls_conv_tol=1e-4, hbar=None, contract_mode="xla",
-                        linear_solver="inhouse"):
+                        linear_solver="inhouse", sigma_sliced=None):
     """Solve (z − H̄)x = b (or (z − i·dt·H̄)x = b for RT) with diagonal-
     preconditioned GMRES, everything on device.
 
@@ -82,6 +83,7 @@ def _shifted_solve_impl(f, dict_t_V, T2, b_pair, z_pair, diag_vec, no, nv,
             dict_t_V = dict(dict_t_V)
             dict_t_V["abcd_ladder"] = lad._replace(presliced=None)
         contract_mode = "xla"
+        sigma_sliced = None
 
     def H(x):
         u1 = x[:n1].reshape(nv, no)
@@ -90,7 +92,8 @@ def _shifted_solve_impl(f, dict_t_V, T2, b_pair, z_pair, diag_vec, no, nv,
             w1 = sigma_singles_hbar(f, dict_t_V, hbar, u1, u2, T2,
                                     contract_mode=contract_mode)
             w2 = sigma_doubles_hbar(f, dict_t_V, hbar, u1, u2, T2,
-                                    contract_mode=contract_mode)
+                                    contract_mode=contract_mode,
+                                    sliced=sigma_sliced)
         else:
             w1 = sigma_singles(f, dict_t_V, u1, u2, T2)
             w2 = sigma_doubles(f, dict_t_V, u1, u2, T2)
@@ -151,14 +154,15 @@ _shifted_solve = partial(jax.jit, static_argnames=(
 def _nodes_impl(f, dict_t_V, T2, b_pair, z_pairs, diag_vec, no, nv,
                 is_rt=False, dt=0.0, ls_max_iter=20, ls_conv_tol=1e-4,
                 hbar=None, contract_mode="xla", phases=None,
-                linear_solver="inhouse"):
+                linear_solver="inhouse", sigma_sliced=None):
     def solve_one(rhs, z_pair):
         return _shifted_solve_impl(f, dict_t_V, T2, rhs, z_pair,
                                    diag_vec, no, nv, is_rt=is_rt, dt=dt,
                                    ls_max_iter=ls_max_iter,
                                    ls_conv_tol=ls_conv_tol, hbar=hbar,
                                    contract_mode=contract_mode,
-                                   linear_solver=linear_solver)
+                                   linear_solver=linear_solver,
+                                   sigma_sliced=sigma_sliced)
 
     if phases is None:
         return jax.vmap(lambda zp: solve_one(b_pair, zp))(z_pairs)
@@ -261,6 +265,8 @@ class FEAST_EOM_CCSD(EOM_CCSD):
         if getattr(self, "_hbar", None) is None:
             self._hbar = build_hbar(f, dict_t_V, T2,
                                     contract_mode=self._cm())
+            self._sigma_sliced = preslice_sigma_hbar(dict_t_V, self._hbar,
+                                                     T2, self._cm())
         return self._hbar
 
     def _warn_unconverged(self, rel_res):
@@ -291,7 +297,8 @@ class FEAST_EOM_CCSD(EOM_CCSD):
             ls_max_iter=self.ls_max_iter, ls_conv_tol=self.ls_conv_tol,
             hbar=self._get_hbar(f, dict_t_V, T2),
             contract_mode=self._cm(),
-            linear_solver=self._backend(dict_t_V))
+            linear_solver=self._backend(dict_t_V),
+            sigma_sliced=getattr(self, "_sigma_sliced", None))
         self._warn_unconverged(rel_res)
         return np.asarray(xr) + 1j * np.asarray(xi)
 
@@ -330,7 +337,8 @@ class FEAST_EOM_CCSD(EOM_CCSD):
                 ls_max_iter=self.ls_max_iter, ls_conv_tol=self.ls_conv_tol,
                 hbar=self._get_hbar(f, dict_t_V, T2),
                 contract_mode=self._cm(),
-                linear_solver=self._backend(dict_t_V))
+                linear_solver=self._backend(dict_t_V),
+                sigma_sliced=getattr(self, "_sigma_sliced", None))
             xs.append(np.asarray(xr) + 1j * np.asarray(xi))
             rels.append(np.atleast_1d(np.asarray(rel_res)))
         self._warn_unconverged(np.concatenate(rels))
@@ -341,7 +349,8 @@ class FEAST_EOM_CCSD(EOM_CCSD):
         print_title("FEAST-EOM-CCSD Solver")
         time_init = time.time()
         no = self.no
-        self._hbar = None   # intermediates belong to THIS (f, V, T2)
+        self._hbar = None
+        self._sigma_sliced = None   # intermediates belong to THIS (f, V, T2)
         f = jnp.asarray(t_fock_dressed_pq)
         T2 = jnp.asarray(t_T_abij)
         diag_ai = np.asarray(get_diag_singles(f, dict_t_V_dressed, T2))

@@ -44,7 +44,8 @@ class RT_EOM_CCSD(FEAST_EOM_CCSD):
         no = self.no
         if u_singles is None or u_doubles is None:
             raise RuntimeError("No initial state specified!")
-        self._hbar = None   # factorized-sigma pieces belong to THIS (f, T2)
+        self._hbar = None
+        self._sigma_sliced = None   # factorized-sigma pieces belong to THIS (f, T2)
         f = jnp.asarray(t_fock_dressed_pq)
         T2 = jnp.asarray(t_T_abij)
         diag_ai = np.asarray(get_diag_singles(f, dict_t_V_dressed, T2))
@@ -92,7 +93,8 @@ class RT_EOM_CCSD(FEAST_EOM_CCSD):
                     ls_conv_tol=self.ls_conv_tol,
                     hbar=self._get_hbar(f, dict_t_V_dressed, T2),
                     contract_mode=self._cm(), phases=phases,
-                    linear_solver=self._backend(dict_t_V_dressed))
+                    linear_solver=self._backend(dict_t_V_dressed),
+                    sigma_sliced=getattr(self, "_sigma_sliced", None))
                 Qs.append(np.asarray(xr) + 1j * np.asarray(xi))
                 rels.append(np.atleast_1d(np.asarray(rel)))
             self._warn_unconverged(np.concatenate(rels))
