@@ -72,19 +72,23 @@ def gmres(matvec, b, precond=None, tol=1e-5, restart=20, max_outer=20):
         def body(carry):
             j, V, H, cs, sn, g = carry
             w = precond(matvec(V[j]))
-            # modified Gram-Schmidt against all rows (rows > j are zero),
-            # two passes — single-pass MGS loses orthogonality enough to
-            # stall restarts at ~1e-7 under TPU's emulated f64
-            def mgs(i, wh):
-                w, h = wh
-                hij = _dot(V[i], w)
-                use = i <= j
-                hij = jnp.where(use, hij, 0.0)
-                return w - hij * V[i], h.at[i].set(h[i] + hij)
-
-            w, h = jax.lax.fori_loop(0, restart + 1, mgs,
-                                     (w, jnp.zeros((restart + 1,), dtype)))
-            w, h = jax.lax.fori_loop(0, restart + 1, mgs, (w, h))
+            # classical Gram-Schmidt with one reorthogonalisation pass
+            # (CGS2) against all rows — rows > j are zero, so their
+            # coefficients vanish and no mask is needed.  Two fused
+            # broadcast-reduce GEMVs per pass replace the former
+            # fori_loop MGS's 2·(restart+1) serialized vdot+axpy kernels,
+            # which dominated the shifted-solve wall the same way they
+            # dominated the Davidson step (probe_o3: ~4.8 ms per
+            # projection pair at N≈6.6e5).  Single-pass CGS loses
+            # orthogonality enough to stall restarts at ~1e-7 under
+            # TPU's emulated f64; the second pass restores MGS-class
+            # stability.  mul+sum, not dot_general: the emulated-f64
+            # skinny dot (tiny output, huge K) is ~60× off roofline.
+            h = jnp.zeros((restart + 1,), dtype)
+            for _ in range(2):
+                hp = jnp.sum(V * w[None, :], axis=1)
+                w = w - jnp.sum(V * hp[:, None], axis=0)
+                h = h + hp
             hnext = jnp.sqrt(_dot(w, w))
             h = h.at[j + 1].set(hnext)
             V = V.at[j + 1].set(_safe_unit(w, hnext))
