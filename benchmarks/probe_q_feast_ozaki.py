@@ -33,8 +33,8 @@ print("devices:", jax.devices(), flush=True)
 NEED = ('klij', 'ijab', 'abij', 'iajb', 'iabj', 'aibj', 'aijb',
         'ijka', 'ijak', 'iajk', 'iabc', 'abic')
 
-for cutoff in (int(os.environ.get("Q_CUT0", 5)),
-               int(os.environ.get("Q_CUT1", 10))):
+for cutoff in sorted({int(os.environ.get("Q_CUT0", 5)),
+                      int(os.environ.get("Q_CUT1", 10))}):
     u = ueg.UEG(14, 7, 7, 0.5)
     u.init_single_basis(cutoff)
     no, n_p = 7, u.n_spatial

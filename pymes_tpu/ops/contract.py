@@ -46,6 +46,32 @@ _SUM_K_MAX = 16
 _SUM_OUT_MAX = 1 << 16
 _SUM_TMP_MAX = 1 << 24
 
+# Trace-time gate for the mul+sum lowerings — a diagnostic escape
+# hatch, nothing disables it in production.  It was added while
+# bisecting the axon-worker deaths in the FEAST/RT batched shifted
+# solves (vmap(while(while)) programs); probe_q_bisect exonerated the
+# lowering (every orthogonalisation/sigma variant died the same way)
+# and probe_q_compile pinned the deaths on the worker's ~11-min compile
+# watchdog, mitigated by chunking dispatches (max_nodes_per_dispatch).
+# Kept so future HLO-pattern bisects can flip one switch.
+_MULSUM_ENABLED = True
+
+
+class no_mulsum:
+    """Context manager: force plain einsum lowering for skinny
+    contractions traced inside the ``with`` block."""
+
+    def __enter__(self):
+        global _MULSUM_ENABLED
+        self._prev = _MULSUM_ENABLED
+        _MULSUM_ENABLED = False
+        return self
+
+    def __exit__(self, *exc):
+        global _MULSUM_ENABLED
+        _MULSUM_ENABLED = self._prev
+        return False
+
 
 def parse_mode(mode):
     """Validate a mode string; return (n_slices, t_cutoff) or None for xla."""
@@ -115,7 +141,8 @@ def contract(spec, a, b, mode=None):
         if opts is not None and k >= _MIN_K and flops >= _MIN_FLOPS:
             return ozaki.einsum2(spec, a, b, n_slices=opts[0],
                                  t_cutoff=opts[1])
-        if k <= _SUM_K_MAX or (out_elems <= _SUM_OUT_MAX
-                               and flops // 2 <= _SUM_TMP_MAX):
+        if _MULSUM_ENABLED and (
+                k <= _SUM_K_MAX or (out_elems <= _SUM_OUT_MAX
+                                    and flops // 2 <= _SUM_TMP_MAX)):
             return _mulsum(spec, a, b)
     return jnp.einsum(spec, a, b)

@@ -7,11 +7,19 @@ primitives (the integer-MXU Ozaki contraction path: mantissa truncation,
 exponent bitcasts).  This implementation only ever CALLS the matvec, so
 any linear operator works.
 
-Structure: left-preconditioned GMRES(m) with modified Gram-Schmidt
-Arnoldi and Givens rotations, everything fixed-shape inside one
-``lax.while_loop`` over restarts (TPU-friendly: no dynamic shapes, no
-host sync).  Reductions are mul+sum (the emulated-f64 reduction dot is
-~60× off roofline on TPU).
+Structure: left-preconditioned GMRES(m) with CGS2 Arnoldi and Givens
+rotations, everything fixed-shape inside one ``lax.while_loop`` over
+restarts (TPU-friendly: no dynamic shapes, no host sync).  Reductions
+are mul+sum (the emulated-f64 reduction dot is ~60× off roofline on TPU).
+
+The matvec is traced at exactly ONE site (the Arnoldi body).  The
+restart residual is reconstructed from the Arnoldi relation instead of
+recomputed — r_new = V^T·(Qᵀ e_fin·g_fin), the standard identity — and
+the caller owns any honest final-residual check.  This matters beyond
+matvec count: the FEAST/RT shifted solves inline a ~10⁴-op sigma at
+every matvec site of the vmapped solve program, and the axon TPU
+worker's compile watchdog (~11 min) killed the 3-site version's
+8-node batch (benchmarks/probe_q_compile.py, 2026-08-18).
 
 Replaces the role of scipy's gcrotmk in the reference's shifted solves
 (``pymes/solver/feast_eom_ccsd.py:293``).
@@ -30,8 +38,11 @@ def _dot(x, y):
 @partial(jax.jit, static_argnames=("matvec", "precond", "restart",
                                    "max_outer"))
 def gmres(matvec, b, precond=None, tol=1e-5, restart=20, max_outer=20):
-    """Solve A x = b; returns ``(x, rel_res)`` with rel_res measured on
-    the PRECONDITIONED residual (same convergence test as jax.scipy).
+    """Solve A x = b; returns ``(x, rel_res)`` with rel_res the
+    PRECONDITIONED residual norm from the Arnoldi relation (same
+    convergence test as jax.scipy; exact in exact arithmetic, drifts
+    only by rounding across restarts — callers needing a certified
+    residual recompute ‖Ax − b‖ themselves, one matvec).
 
     ``matvec``/``precond``: flat-vector → flat-vector callables (linear;
     need not be built from linear primitives).
@@ -57,12 +68,12 @@ def gmres(matvec, b, precond=None, tol=1e-5, restart=20, max_outer=20):
         return jnp.where(norm > _BREAK, 1.0 / jnp.maximum(norm, _BREAK),
                          0.0) * v
 
-    def inner(x0):
-        """One GMRES(m) cycle from x0; returns (x, prec_res_norm)."""
-        r = precond(b - matvec(x0))
-        beta = jnp.sqrt(_dot(r, r))
+    def inner(x0, r0):
+        """One GMRES(m) cycle from x0 with preconditioned residual r0;
+        returns (x, r_new, prec_res_norm)."""
+        beta = jnp.sqrt(_dot(r0, r0))
         V0 = jnp.zeros((restart + 1, n), dtype).at[0].set(
-            _safe_unit(r, beta))
+            _safe_unit(r0, beta))
 
         H0 = jnp.zeros((restart + 1, restart), dtype)
         cs0 = jnp.zeros((restart,), dtype)
@@ -75,15 +86,14 @@ def gmres(matvec, b, precond=None, tol=1e-5, restart=20, max_outer=20):
             # classical Gram-Schmidt with one reorthogonalisation pass
             # (CGS2) against all rows — rows > j are zero, so their
             # coefficients vanish and no mask is needed.  Two fused
-            # broadcast-reduce GEMVs per pass replace the former
-            # fori_loop MGS's 2·(restart+1) serialized vdot+axpy kernels,
-            # which dominated the shifted-solve wall the same way they
-            # dominated the Davidson step (probe_o3: ~4.8 ms per
-            # projection pair at N≈6.6e5).  Single-pass CGS loses
-            # orthogonality enough to stall restarts at ~1e-7 under
-            # TPU's emulated f64; the second pass restores MGS-class
-            # stability.  mul+sum, not dot_general: the emulated-f64
-            # skinny dot (tiny output, huge K) is ~60× off roofline.
+            # broadcast-reduce GEMVs per pass replace a fori_loop MGS's
+            # 2·(restart+1) serialized vdot+axpy kernels (probe_o3:
+            # ~4.8 ms per projection pair at N≈6.6e5).  Single-pass CGS
+            # loses orthogonality enough to stall restarts at ~1e-7
+            # under TPU's emulated f64; the second pass restores
+            # MGS-class stability.  mul+sum, not dot_general: the
+            # emulated-f64 skinny dot (tiny output, huge K) is ~60× off
+            # roofline.
             h = jnp.zeros((restart + 1,), dtype)
             for _ in range(2):
                 hp = jnp.sum(V * w[None, :], axis=1)
@@ -146,20 +156,98 @@ def gmres(matvec, b, precond=None, tol=1e-5, restart=20, max_outer=20):
         y = jax.lax.fori_loop(0, restart, back,
                               jnp.zeros((restart,), dtype))
         x = x0 + jnp.sum(y[:, None] * V[:restart], axis=0)
+
+        # residual reconstruction (no matvec): in the Krylov basis the
+        # least-squares residual is β e₁ − H̄ y = Qᵀ(0,…,0,g[j_fin]), so
+        # r_new = Vᵀ·ζ with ζ = Qᵀ e_fin·g[j_fin] — apply the stored
+        # rotations transposed in reverse order
+        u = jnp.where(jnp.arange(restart + 1) == j_fin, g[j_fin], 0.0)
+
+        def unrot(k, uv):
+            i = restart - 1 - k
+            ui, ui1 = uv[i], uv[i + 1]
+            use = i < j_fin
+            new_i = jnp.where(use, cs[i] * ui - sn[i] * ui1, ui)
+            new_i1 = jnp.where(use, sn[i] * ui + cs[i] * ui1, ui1)
+            return uv.at[i].set(new_i).at[i + 1].set(new_i1)
+
+        u = jax.lax.fori_loop(0, restart, unrot, u)
+        r_new = jnp.sum(u[:, None] * V, axis=0)
         # on early exit the residual sits at g[j_fin], not g[restart]
-        return x, jnp.abs(g[j_fin])
+        return x, r_new, jnp.abs(g[j_fin])
 
     def cond(carry):
-        _, res, it = carry
+        _, _, res, it = carry
         return (res / safe_b > tol) & (it < max_outer)
 
     def outer(carry):
-        x, _, it = carry
-        x, res = inner(x)
-        return x, res, it + 1
+        x, r, _, it = carry
+        x, r, res = inner(x, r)
+        return x, r, res, it + 1
 
     x0 = jnp.zeros_like(b)
-    x, res, _ = jax.lax.while_loop(
-        cond, outer, (x0, jnp.asarray(jnp.inf, dtype), jnp.zeros((),
-                                                                 jnp.int32)))
+    # x0 = 0 ⇒ the preconditioned residual is exactly Mb — no matvec
+    x, _, res, _ = jax.lax.while_loop(
+        cond, outer, (x0, Mb, bnorm, jnp.zeros((), jnp.int32)))
     return x, res / safe_b
+
+
+@partial(jax.jit, static_argnames=("matvec", "precond", "max_iter"))
+def richardson(matvec, b, precond=None, tol=1e-5, damping=1.0,
+               max_iter=400):
+    """Damped preconditioned Richardson iteration x ← x + ω·M(b − Ax).
+
+    With M = 1/(z − diag) and ω = 1 this is the classical Jacobi
+    iteration — the device equivalent of the reference's ``_jacobi``
+    shifted-solve backend (``pymes/solver/feast_eom_ccsd.py:253-293``,
+    which fixes 200 passes at ω = 0.01 with the same preconditioner;
+    lower ω to that regime for near-metallic windows where the
+    off-diagonal coupling rivals the shift).  Here the loop is a
+    fixed-shape ``lax.while_loop`` with an early exit on the true
+    residual, so a well-conditioned window costs only as many sigma
+    matvecs as it needs.  Like :func:`gmres` it only ever CALLS the
+    matvec — the integer-MXU (ozaki) sigma runs inside.  Convergence
+    requires the window shift to dominate the off-diagonal coupling
+    (|1 − ωMA| < 1); GMRES is the production default, this exists for
+    capability parity and as a low-memory fallback (no (restart+1, n)
+    Krylov basis).
+
+    The iteration matrix 1 - wM(z-H) has |.| > 1 eigen-directions on
+    the ill-conditioned contour nodes of a realistic FEAST window for
+    ANY w (the reference's fixed-200-pass ``_jacobi`` diverges there the
+    same way, it just never checks).  So this carries the BEST iterate
+    seen (minimum true residual) and bails once the residual blows 1e3x
+    past the RHS norm -- a diverged node returns its best early iterate
+    with an honest residual instead of 1e35-scaled garbage, and the
+    caller's non-convergence warning fires on it.
+    """
+    if precond is None:
+        def precond(v):
+            return v
+
+    dtype = b.dtype
+    bnorm = jnp.sqrt(_dot(b, b))
+    safe_b = jnp.maximum(bnorm, jnp.asarray(1e-300, dtype))
+    om = jnp.asarray(damping, dtype)
+
+    def cond(carry):
+        _, res, it, _, _ = carry
+        return ((res / safe_b > tol) & (it < max_iter)
+                & (res < 1e3 * safe_b))
+
+    def body(carry):
+        x, _, it, best_x, best_res = carry
+        r = b - matvec(x)
+        res = jnp.sqrt(_dot(r, r))
+        better = res < best_res
+        best_x = jnp.where(better, x, best_x)
+        best_res = jnp.where(better, res, best_res)
+        return x + om * precond(r), res, it + 1, best_x, best_res
+
+    x0 = jnp.zeros_like(b)
+    # entry residual at x0 = 0 is exactly ||b|| (no matvec needed) — it
+    # must be finite or the divergence guard in `cond` would never let
+    # the loop start
+    _, _, _, best_x, best_res = jax.lax.while_loop(
+        cond, body, (x0, bnorm, jnp.zeros((), jnp.int32), x0, bnorm))
+    return best_x, best_res / safe_b

@@ -364,7 +364,7 @@ def test_feast_inhouse_backend_matches_jsp():
     e_dav = dav.solve(fd, Vd, res["t2"])[0]
 
     roots = {}
-    for backend in ("inhouse", "jsp"):
+    for backend in ("inhouse", "jsp", "jacobi", "opt"):
         s = FEAST_EOM_CCSD(no, e_c=e_dav, e_r=0.2, n_trial=2,
                            max_iter=50, tol=1e-10, seed=1)
         s.ls_backend = backend
@@ -373,3 +373,9 @@ def test_feast_inhouse_backend_matches_jsp():
         roots[backend] = np.min(np.abs(np.real(ev) - e_dav))
     assert roots["inhouse"] < 1e-5
     assert roots["jsp"] < 1e-5
+    # the Jacobi/Richardson backend (reference _jacobi parity,
+    # pymes/solver/feast_eom_ccsd.py:253) solves the same window
+    assert roots["jacobi"] < 1e-5
+    # "opt" (reference _opt_solver parity: residual-norm minimization,
+    # pymes/solver/feast_eom_ccsd.py:221) aliases the in-house GMRES
+    assert roots["opt"] < 1e-5
