@@ -16,8 +16,11 @@ Design (TPU-first, not a port):
 * the distributed tensor role of CTF (C++/MPI) in the reference is played by
   ``jax.sharding`` meshes: V/T tensors sharded over virtual-orbital axes,
   contractions lowered to XLA collectives over ICI (``pymes_tpu.parallel``);
-* hot contractions (particle-particle ladder) have Pallas kernels with
-  compensated precision for the f64 accuracy bar (``pymes_tpu.ops``).
+* hot contractions run exact f64 on the MXU through the Ozaki sliced
+  engine (``pymes_tpu.ops.ozaki``: 6-bit mantissa slices in bf16, exact
+  f32 accumulation) and the momentum-block-diagonal sector-GEMM ladder
+  (``pymes_tpu.ops.ueg_ladder``) — this design replaced custom Pallas
+  kernels on every production path (benchmarks/RESULTS.md round 2).
 """
 
 from pymes_tpu import config  # noqa: F401  (side effect: enable x64)

@@ -10,9 +10,10 @@ TPU-native architecture (not a port):
 
 * :func:`doubles_residual` is a pure jitted function of (Fock, T2, V-blocks) —
   ~20 einsums XLA fuses and maps onto the MXU; the particle-particle ladder
-  ``V_abcd·T_cdij`` (the FLOP hot spot) is routed through
-  :func:`pymes_tpu.ops.ladder.ppl_contract` so single-chip Pallas and
-  multi-chip sharded paths can swap in.
+  ``V_abcd·T_cdij`` (the FLOP hot spot) runs as one MXU matmul, either on
+  the exact-f64 sliced engine (:mod:`pymes_tpu.ops.ozaki`, the production
+  path) or XLA's emulated-f64 dot — no custom kernels: the sector-GEMM /
+  Ozaki design replaced them (benchmarks/RESULTS.md round 2).
 * the Jacobi + DIIS iteration is a single ``lax.while_loop`` fixed point
   carried entirely on device (T2, DIIS ring buffer, energy, iteration
   counter); one scalar (converged energy) syncs back to host at the end.
@@ -32,7 +33,6 @@ from pymes_tpu.mixer import diis
 from pymes_tpu.ops import contract as _ct
 from pymes_tpu.ops import ozaki
 from pymes_tpu.ops.contract import contract
-from pymes_tpu.ops.ladder import ppl_contract
 from pymes_tpu.solver import mp2
 
 
@@ -136,7 +136,7 @@ def doubles_residual(t_fock_ab, t_fock_ij, t_T_abij, blocks: CCDBlocks,
         W = ozaki.matmul_presliced(sa, ea, sb, eb, t_cutoff=opts[1])
         R = R + W.reshape(nv, nv, no_, no_)
     else:
-        R = R + ppl_contract(V.abcd, t_T_abij)  # pp ladder (hot)
+        R = R + jnp.einsum("abcd,cdij->abij", V.abcd, t_T_abij)  # pp ladder
 
     if not is_dcd:
         X_alcj = c2("klcd,adkj->alcj", V.ijab, t_T_abij)

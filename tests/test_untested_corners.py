@@ -1,6 +1,9 @@
 """Direct coverage for formerly test-free modules (VERDICT r1 task 7):
-Pallas kernels, ladder.set_mode, tcfactors.read, PySCF-shaped adapters,
-and the supercell→primitive optimizer workflow (task 9).
+tcfactors.read, PySCF-shaped adapters, and the supercell→primitive
+optimizer workflow (task 9).  (The experimental Pallas matmul kernels
+these tests once covered were pruned in round 4 — the sector-GEMM /
+Ozaki sliced engine replaced custom kernels on every production path,
+VERDICT r3 task 7.)
 """
 
 import numpy as np
@@ -8,53 +11,6 @@ import pytest
 import scipy.linalg
 
 import jax.numpy as jnp
-
-
-def test_pallas_matmul_kernels_interpret():
-    """matmul_f32 / matmul_ds accuracy in Pallas interpret mode (the CPU
-    suite's stand-in for the TPU compile; same kernel code path)."""
-    from jax.experimental.pallas import tpu as pltpu
-    from pymes_tpu.ops.matmul import matmul_ds, matmul_f32
-
-    rng = np.random.default_rng(0)
-    a = rng.standard_normal((96, 160))
-    b = rng.standard_normal((160, 64))
-    want = a @ b
-    with pltpu.force_tpu_interpret_mode():
-        got32 = np.asarray(matmul_f32(jnp.asarray(a, jnp.float32),
-                                      jnp.asarray(b, jnp.float32)))
-        gotds = np.asarray(matmul_ds(jnp.asarray(a), jnp.asarray(b)))
-    assert np.abs(got32 - want).max() < 1e-4 * np.abs(want).max()
-    # double-single: ~1e-7 relative by design (docstring bound)
-    assert np.abs(gotds - want).max() < 1e-6 * np.abs(want).max()
-
-
-def test_ladder_set_mode_dispatch():
-    from pymes_tpu.ops import ladder
-
-    rng = np.random.default_rng(1)
-    nv, no = 8, 2
-    V = jnp.asarray(rng.standard_normal((nv, nv, nv, nv)))
-    T = jnp.asarray(rng.standard_normal((nv, nv, no, no)))
-    want = np.einsum("abcd,cdij->abij", np.asarray(V), np.asarray(T))
-
-    assert ladder.get_mode() == "xla"
-    got = np.asarray(ladder.ppl_contract(V, T))
-    np.testing.assert_allclose(got, want, rtol=1e-12)
-    try:
-        from jax.experimental.pallas import tpu as pltpu
-        with pltpu.force_tpu_interpret_mode():
-            ladder.set_mode("pallas_f32")
-            g32 = np.asarray(ladder.ppl_contract(V.astype(jnp.float32),
-                                                 T.astype(jnp.float32)))
-            ladder.set_mode("pallas_ds")
-            gds = np.asarray(ladder.ppl_contract(V, T))
-        assert np.abs(g32 - want).max() < 1e-3 * np.abs(want).max()
-        assert np.abs(gds - want).max() < 1e-6 * np.abs(want).max()
-        with pytest.raises(ValueError):
-            ladder.set_mode("bogus")
-    finally:
-        ladder.set_mode("xla")
 
 
 def test_tcfactors_h5_fixture(tmp_path):
