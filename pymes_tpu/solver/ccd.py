@@ -192,6 +192,11 @@ class CCDBlocksIJ(NamedTuple):
     #   BlockLadder sector blocks (preslice_block_ladder)
     sliced: object = None  # optional {"ijab"/"ikac"/"kjcb": slice_tensor}
     #   global-scale ozaki slices of the ring blocks (preslice_ring_blocks)
+    ex_half: object = None  # optional extra term for the Ex accumulator,
+    #   applied BEFORE the P(ab,ij) symmetrisation — carries the
+    #   half-symmetric T1 dressing of the abij block (S with S + P(S) =
+    #   full dressing; ccsd.dressed_block(half_symmetric=True)), so the
+    #   residual's one symmetrising transpose serves the dressing too
 
 
 def blocks_ij_from(blocks: CCDBlocks):
@@ -269,8 +274,9 @@ def doubles_residual_ij(t_fock_ab, t_fock_ij, t_T_ijab, V: CCDBlocksIJ,
     if not is_dcd:
         I_klij = I_klij + cs("klcd,ijcd->klij", Vs, t_s)
 
-    R = V.abij_t
-    R = R + cs("klij,klab->ijab", I_klij, t_s)
+    R = cs("klij,klab->ijab", I_klij, t_s)
+    if V.abij_t is not None:
+        R = R + V.abij_t
 
     # particle-particle ladder: R_ij,ab += T_ij,cd V_ab,cd
     if V.ladder is not None:
@@ -338,6 +344,8 @@ def doubles_residual_ij(t_fock_ab, t_fock_ij, t_T_ijab, V: CCDBlocksIJ,
         Ex = Ex - cs("lica,ljcb->ijab", X_lica, t_s)
         Ex = Ex + cs("lica,ljbc->ijab", X_lica, t_s)
 
+    if V.ex_half is not None:  # half-symmetric T1 dressing of abij
+        Ex = Ex + V.ex_half
     R = R + Ex + jnp.transpose(Ex, (1, 0, 3, 2))  # P(ab,ij)
     return R
 
