@@ -653,7 +653,7 @@ def sparse_to_blocks(idx, vals, n_p, no, names=None, dtype=None):
     idx = np.asarray(idx)
     vals = np.asarray(vals)
     is_occ = idx < no
-    out = {}
+    flats, vs, dims_all = [], [], []
     for name in names:
         want = [c in OCC_LETTERS for c in name]
         mask = np.ones(len(vals), dtype=bool)
@@ -672,11 +672,37 @@ def sparse_to_blocks(idx, vals, n_p, no, names=None, dtype=None):
         if int(np.prod(dims)) >= 2 ** 31:
             raise ValueError(f"block {name} too large for the int32 "
                              "scatter path")
-        v = jnp.asarray(vals[mask], dtype=dtype)
-        buf = jnp.zeros(int(np.prod(dims)), dtype=v.dtype)
-        out[name] = buf.at[jnp.asarray(flat.astype(np.int32))].set(
-            v).reshape(dims)
-    return out
+        flats.append(jnp.asarray(flat.astype(np.int32)))
+        vs.append(jnp.asarray(vals[mask], dtype=dtype))
+        dims_all.append(tuple(dims))
+    # ONE jitted dispatch for every block's scatter: eagerly, each block
+    # paid ~4 remote compiles+dispatches through the axon tunnel (~12 s
+    # of bench "setup" at nP=57 was exactly this; BENCH_r04 probes)
+    blocks = _scatter_all()(tuple(flats), tuple(vs), tuple(dims_all))
+    return dict(zip(names, blocks))
+
+
+_SCATTER_ALL = None
+
+
+def _scatter_all():
+    """Lazily-built jitted multi-block scatter (this module stays
+    importable without initialising jax)."""
+    global _SCATTER_ALL
+    if _SCATTER_ALL is None:
+        import functools
+
+        import jax
+        import jax.numpy as jnp
+
+        @functools.partial(jax.jit, static_argnames=("dims_all",))
+        def scatter_all(flats, vs, dims_all):
+            return tuple(
+                jnp.zeros(int(np.prod(d)), v.dtype).at[f].set(v).reshape(d)
+                for f, v, d in zip(flats, vs, dims_all))
+
+        _SCATTER_ALL = scatter_all
+    return _SCATTER_ALL
 
 
 def _call_correlator(correlator, kSquare, scalar_path=False):

@@ -18,6 +18,7 @@ Exact against the dense ladder for the generated integral classes
 (``tests/test_ueg_ladder.py``).
 """
 
+from functools import partial
 from typing import NamedTuple
 
 import numpy as np
@@ -479,10 +480,21 @@ def block_ladder_apply(plan: BlockLadder, T_abij):
 def preslice_block_ladder(plan: BlockLadder, n_slices=7):
     """Ozaki-preslice every sector block (loop-invariant, once per plan):
     returns a tuple over groups of ``(slices, exps)`` from
-    ``vmap(slice_rows)`` over the sector axis."""
+    ``vmap(slice_rows)`` over the sector axis.
+
+    Jitted over the group blocks: the eager form ran the ~30-op trunc
+    chain op-by-op per group, and through the axon tunnel every eager op
+    is its own remote compile + dispatch — ~183 s of the round-3 bench
+    "setup" at nP=57 was exactly this (BENCH_r04 probe)."""
+    return _preslice_groups(tuple(g.blocks for g in plan.groups),
+                            int(n_slices))
+
+
+@partial(jax.jit, static_argnames=("n_slices",))
+def _preslice_groups(group_blocks, n_slices):
     from pymes_tpu.ops import ozaki
-    return tuple(jax.vmap(lambda b: ozaki.slice_rows(b, n_slices))(g.blocks)
-                 for g in plan.groups)
+    return tuple(jax.vmap(lambda b: ozaki.slice_rows(b, n_slices))(blocks)
+                 for blocks in group_blocks)
 
 
 def _block_ozaki_rows(plan, Xs_per_group, no2, dtype, t_cutoff):
