@@ -369,3 +369,56 @@ def test_ring_ladder_ij_full_solve_oracle():
                        max_iter=60, ring_mesh=m, ring_axis="a",
                        layout="ijab", contract_mode="ozaki:9:9")
     assert abs(res["ccd e"] - (-0.5120153512190824)) < 1e-6
+
+
+@needs_8
+@pytest.mark.slow
+def test_sharded_mf_ccsd_production_cutoff8_ozaki():
+    """VERDICT r3 task 6: the PRODUCTION distributed configuration —
+    sector-sharded BlockLadder + OVVV gather plans + T1-dressed
+    matrix-free CCSD + ozaki per-shard sector matmuls — at cutoff 8
+    (nP=93) with genuine T1 != 0 (non-canonical fock noise; momentum
+    conservation keeps T1 = 0 on any canonical UEG), asserted against
+    the single-device matrix-free solve to 1e-8.  The sector axis is
+    padded to the mesh size, so the full 8-device mesh is used — no
+    silent mesh shrink (asserted)."""
+    from jax.sharding import Mesh
+    from pymes_tpu.mean_field import hf
+    from pymes_tpu.models import ueg
+    from pymes_tpu.solver import ccsd
+    from pymes_tpu.integral.partition import part_2_body_int
+    from pymes_tpu.ops.ueg_ladder import (build_block_ladder,
+                                          build_ovvv_plans,
+                                          shard_block_ladder)
+
+    u = ueg.UEG(14, 7, 7, 1.0)
+    u.init_single_basis(8)
+    no = 7
+    assert u.n_spatial >= 90          # cutoff >= 8 per the task
+    V = u.eval_2b_integrals()
+    fock = np.asarray(hf.construct_hf_matrix(
+        no, np.diag(u.kinetic_energies()), V))
+    rng = np.random.default_rng(5)
+    noise = rng.standard_normal(fock.shape) * 0.02
+    fock = fock + noise + noise.T
+    dV = part_2_body_int(no, jnp.asarray(V))
+    dmf = {k: dV[k] for k in ('klij', 'ijab', 'abij', 'iajb', 'iabj',
+                              'aijb', 'aibj', 'ijka', 'ijak', 'iajk')}
+    dmf['_ovvv_plans'] = build_ovvv_plans(u)
+
+    plan0 = build_block_ladder(u, bra="all", preslice=7)
+    res_ref = ccsd.CCSD(no).solve(jnp.asarray(fock), dmf, delta_e=1e-10,
+                                  max_iter=100, level_shift=-0.5,
+                                  ladder=plan0, contract_mode="xla")
+    assert np.abs(np.asarray(res_ref["t1"])).max() > 1e-4
+
+    mesh = Mesh(np.array(jax.devices()[:8]), ("s",))
+    assert mesh.devices.size == 8     # the full requested mesh, no shrink
+    plan = shard_block_ladder(
+        build_block_ladder(u, bra="all", pad_sectors=8, preslice=7),
+        mesh, axis="s")
+    res = ccsd.CCSD(no).solve(jnp.asarray(fock), dmf, delta_e=1e-10,
+                              max_iter=100, level_shift=-0.5,
+                              ladder=plan, contract_mode="ozaki:7:6")
+    # measured on this mesh: 6.6e-13 (bench notes, round 4)
+    assert abs(res["ccsd e"] - res_ref["ccsd e"]) < 1e-8
