@@ -53,16 +53,20 @@ def gmres(matvec, b, precond=None, tol=1e-5, restart=20, max_outer=20):
 
     n = b.shape[0]
     dtype = b.dtype
+    # f32 Krylov mode (the FEAST/RT mixed-precision inner solves): the
+    # breakdown/underflow guards must sit above the f32 denormal range
+    f32 = jnp.finfo(dtype).bits == 32
+    tiny = jnp.asarray(1e-30 if f32 else 1e-300, dtype)
     Mb = precond(b)
     bnorm = jnp.sqrt(_dot(Mb, Mb))
-    safe_b = jnp.maximum(bnorm, jnp.asarray(1e-300, dtype))
+    safe_b = jnp.maximum(bnorm, tiny)
 
     # breakdown guard: a NEAR-zero (not exactly zero) Krylov vector must
     # not be normalized — dividing by a floored denominator amplifies it
     # by up to 1e150 and the next dot overflows to inf - inf = NaN.
     # Below this norm the direction is noise; replace it with the zero
     # vector (its H column and rotation become inert).
-    _BREAK = jnp.asarray(1e-140, dtype)
+    _BREAK = jnp.asarray(1e-18 if f32 else 1e-140, dtype)
 
     def _safe_unit(v, norm):
         return jnp.where(norm > _BREAK, 1.0 / jnp.maximum(norm, _BREAK),

@@ -202,6 +202,84 @@ _shifted_solve = partial(jax.jit, static_argnames=(
     "no", "nv", "is_rt", "ls_max_iter", "restart",
     "contract_mode", "linear_solver"))(_shifted_solve_impl)
 
+
+# ---------------------------------------------------------------------------
+# mixed-precision scan-over-nodes engine (VERDICT r3 task 1)
+# ---------------------------------------------------------------------------
+
+def _strip_ozaki(tree):
+    """Drop attached integer-MXU machinery (presliced sector blocks) so a
+    casted-f32 copy of the operator runs native-MXU f32 GEMMs."""
+    from pymes_tpu.ops.ueg_ladder import BlockLadder
+    if isinstance(tree, BlockLadder):
+        return tree._replace(presliced=None)
+    if isinstance(tree, dict):
+        return {k: _strip_ozaki(v) for k, v in tree.items()}
+    return tree
+
+
+def _cast_f32(tree):
+    """f32 copy of an operator structure (Fock/V-dict/T2/hbar/diag):
+    every f64 leaf casts to f32; gather indices/plans pass through."""
+    tree = _strip_ozaki(tree)
+    return jax.tree_util.tree_map(
+        lambda x: x.astype(jnp.float32)
+        if (hasattr(x, "dtype") and x.dtype == jnp.float64) else x, tree)
+
+
+def _nodes_scan_impl(f, dict_t_V, T2, rhs_pairs, z_pairs, diag_vec, no, nv,
+                     is_rt=False, dt=0.0, ls_max_iter=20, restart=20,
+                     ls_conv_tol=1e-4, hbar=None, contract_mode="xla",
+                     linear_solver="inhouse", ls_damping=1.0):
+    """Sequential ``lax.map`` over contour nodes with per-node rhs.
+
+    The solve subgraph (GMRES with the ~10⁴-op sigma inside every matvec
+    site) appears ONCE in the program regardless of node count — the
+    vmapped batch form needed ``max_nodes_per_dispatch = 4`` to stay
+    under the axon worker's ~11-min compile watchdog (round 3), paying
+    one cold compile per chunk.  A second win: each node runs only its
+    OWN Krylov iterations — a batched while_loop runs every node to the
+    slowest node's count (the near-real-axis nodes), wasting matvecs on
+    the easy far-contour nodes.
+    """
+    def one(args):
+        zr, zi, br, bi = args
+        (xr, xi), rel = _shifted_solve_impl(
+            f, dict_t_V, T2, (br, bi), (zr, zi), diag_vec, no, nv,
+            is_rt=is_rt, dt=dt, ls_max_iter=ls_max_iter, restart=restart,
+            ls_conv_tol=ls_conv_tol, hbar=hbar,
+            contract_mode=contract_mode, linear_solver=linear_solver,
+            ls_damping=ls_damping)
+        return xr, xi, rel
+
+    return jax.lax.map(one, (z_pairs[0], z_pairs[1],
+                             rhs_pairs[0], rhs_pairs[1]))
+
+
+_shifted_solve_nodes_scan = partial(jax.jit, static_argnames=(
+    "no", "nv", "is_rt", "ls_max_iter", "restart", "contract_mode",
+    "linear_solver"))(_nodes_scan_impl)
+
+
+@partial(jax.jit, static_argnames=("n",))
+def _broadcast_rhs(b_pair, phases, n):
+    """(n, N) per-node right-hand sides from one vector and optional
+    per-node complex phases (the RT rhs is ``e^{z_e}·b``)."""
+    br, bi = b_pair
+    if phases is None:
+        return (jnp.broadcast_to(br, (n,) + br.shape),
+                jnp.broadcast_to(bi, (n,) + bi.shape))
+    pr, pi = phases
+    return (pr[:, None] * br[None] - pi[:, None] * bi[None],
+            pr[:, None] * bi[None] + pi[:, None] * br[None])
+
+
+@jax.jit
+def _accum_x(x_pairs, dx_r, dx_i):
+    """f64 accumulation of a refinement update (dx arrives f32)."""
+    return (x_pairs[0] + dx_r.astype(jnp.float64),
+            x_pairs[1] + dx_i.astype(jnp.float64))
+
 def _nodes_impl(f, dict_t_V, T2, b_pair, z_pairs, diag_vec, no, nv,
                 is_rt=False, dt=0.0, ls_max_iter=20, ls_conv_tol=1e-4,
                 hbar=None, contract_mode="xla", phases=None,
@@ -240,37 +318,33 @@ _shifted_solve_nodes = partial(jax.jit, static_argnames=(
     "linear_solver"))(_nodes_impl)
 
 
-def _residual_impl(f, dict_t_V, T2, x_pairs, b_pair, z_pairs, diag_vec,
+def _residual_impl(f, dict_t_V, T2, x_pairs, rhs_pairs, z_pairs, diag_vec,
                    no, nv, is_rt=False, dt=0.0, hbar=None,
-                   contract_mode="xla", phases=None, sigma_sliced=None):
+                   contract_mode="xla", sigma_sliced=None):
     """Honest per-node relative residuals ‖(z−H)x − b‖/‖b‖ for a solved
     batch — ONE sigma application per node, in a program detached from
     the solve (a silently non-converged node corrupts the spectral
     projector, VERDICT r1; folding this matvec into the while(while)
-    solve program inflated its compile past the axon watchdog)."""
+    solve program inflated its compile past the axon watchdog).
+
+    ``rhs_pairs`` is per-node, (n, N) — built by :func:`_broadcast_rhs`.
+    Returns ``(rel, res_r, res_i)``: the norms AND the residual vectors
+    ``r = b − (z−H)x``, which are the next right-hand sides of the
+    mixed-precision iterative refinement (VERDICT r3 task 1)."""
     def one(x_pair, z_pair, rhs):
         matvec, _ = _node_ops(f, dict_t_V, T2, z_pair, diag_vec, no, nv,
                               is_rt=is_rt, dt=dt, hbar=hbar,
                               contract_mode=contract_mode,
                               sigma_sliced=sigma_sliced)
-        rr, ri = matvec(x_pair)
-        rr = rr - rhs[0]
-        ri = ri - rhs[1]
+        ar, ai = matvec(x_pair)
+        rr = rhs[0] - ar
+        ri = rhs[1] - ai
         res = jnp.sqrt(jnp.sum(rr * rr) + jnp.sum(ri * ri))
         bnorm = jnp.sqrt(jnp.sum(rhs[0] ** 2) + jnp.sum(rhs[1] ** 2))
-        return res / jnp.maximum(bnorm, 1e-300)
+        return res / jnp.maximum(bnorm, 1e-300), rr, ri
 
-    if phases is None:
-        return jax.vmap(lambda xp, zp: one(xp, zp, b_pair))(x_pairs,
-                                                            z_pairs)
-
-    def one_ph(xp, zp, ph):
-        pr, pi = ph
-        br, bi = b_pair
-        rhs = (pr * br - pi * bi, pr * bi + pi * br)
-        return one(xp, zp, rhs)
-
-    return jax.vmap(one_ph)(x_pairs, z_pairs, phases)
+    return jax.vmap(lambda xp, zp, rhs: one(xp, zp, rhs))(
+        x_pairs, z_pairs, rhs_pairs)
 
 
 _residual_nodes = partial(jax.jit, static_argnames=(
@@ -306,13 +380,29 @@ class FEAST_EOM_CCSD(EOM_CCSD):
         self.ls_damping = 1.0
         self.node_mesh = node_mesh    # shard quadrature nodes over a mesh
         self.node_axis = "a"
-        # cap on contour nodes fused into ONE device dispatch.  The axon
-        # worker kills compiles at ~11 min; the batched inhouse-GMRES
-        # program compiles in ~450 s at 2 nodes (probe_q_compile) and
-        # blows past the watchdog at 8 nodes with the round-3 sigma —
-        # 4 keeps slack while the persistent compile cache amortizes the
-        # one cold compile across chunks/processes.  None = no cap.
+        # solve precision (VERDICT r3 task 1): "mixed" (default) runs the
+        # Krylov iterations in f32 — the sigma GEMMs hit the MXU natively
+        # instead of through emulated f64 or the 49-pass ozaki engine —
+        # inside a scan-over-nodes program (ONE sigma subgraph total),
+        # then iteratively refines in f64: r = b − (z−H)x is measured with
+        # the full-precision operator (the detached honest-residual
+        # program) and re-solved in f32 until ‖r‖/‖b‖ < ls_conv_tol.
+        # Each pass contracts the residual by ~the f32 solve tolerance,
+        # so 1-2 passes reach 1e-4 and ~3 reach 1e-8.  "f64" restores the
+        # round-3 all-f64 path.
+        self.ls_precision = "mixed"
+        self.ls_refine_max = 4
+        # cap on contour nodes fused into ONE device dispatch of the
+        # legacy vmapped-f64 path: its program replicates with the batch
+        # and the axon worker kills compiles at ~11 min (the batched
+        # inhouse-GMRES program compiled in ~450 s at 2 nodes,
+        # probe_q_compile, and blew past the watchdog at 8).  None = no
+        # cap.  The mixed scan path's program size is node-count
+        # independent — it uses ``max_nodes_per_scan`` instead, which
+        # only normalizes dispatch shapes (compile reuse across windows)
+        # and bounds rhs memory.
         self.max_nodes_per_dispatch = 4
+        self.max_nodes_per_scan = 8
         self.last_ls_residuals = None
         self.u_singles = []
         self.u_doubles = []
@@ -322,6 +412,19 @@ class FEAST_EOM_CCSD(EOM_CCSD):
 
     def dump_log(self):
         pass
+
+    def _reset_op_cache(self, f, dict_t_V, T2):
+        """Drop the per-operator intermediates (hbar, sigma slices, f32
+        copies) when the (f, V, T2) triple changes — and ONLY then: the
+        RT propagator calls solve() once per time step with the same
+        operator, and rebuilding the intermediates per step would
+        dominate a long trace."""
+        key = (id(f), id(dict_t_V), id(T2))
+        if getattr(self, "_op_cache_key", None) != key:
+            self._hbar = None
+            self._sigma_sliced = None
+            self._f32_op = None
+            self._op_cache_key = key
 
     # matvec application for projected matrices; overridable for fake Hams
     def _apply_H(self, f, dict_t_V, u1, u2, T2):
@@ -347,6 +450,10 @@ class FEAST_EOM_CCSD(EOM_CCSD):
         backend = getattr(self, "ls_backend", None)
         if backend is not None:
             return backend
+        if getattr(self, "ls_precision", "mixed") == "mixed":
+            # the mixed engine needs a matvec-only solver (the f32 scan
+            # program) — jsp's custom_linear_solve buys nothing there
+            return "inhouse"
         from pymes_tpu.ops import contract as _ct
         from pymes_tpu.ops.ueg_ladder import BlockLadder
         lad = dict_t_V.get("abcd_ladder")
@@ -396,8 +503,9 @@ class FEAST_EOM_CCSD(EOM_CCSD):
             linear_solver=self._backend(dict_t_V),
             sigma_sliced=getattr(self, "_sigma_sliced", None),
             ls_damping=getattr(self, "ls_damping", 1.0))
-        rel_res = _residual_nodes(
-            f, dict_t_V, T2, (xr[None], xi[None]), b_pair,
+        rhs_b = _broadcast_rhs(b_pair, None, 1)
+        rel_res, _, _ = _residual_nodes(
+            f, dict_t_V, T2, (xr[None], xi[None]), rhs_b,
             (z_pair[0][None], z_pair[1][None]), diag, self.no, nv,
             is_rt=is_rt, dt=dt, hbar=self._get_hbar(f, dict_t_V, T2),
             contract_mode=self._cm(),
@@ -405,8 +513,137 @@ class FEAST_EOM_CCSD(EOM_CCSD):
         self._warn_unconverged(rel_res)
         return np.asarray(xr) + 1j * np.asarray(xi)
 
+    def _solve_nodes_engine(self, f, dict_t_V, T2, b_vec, z_arr, diag_vec,
+                            nv, is_rt=False, dt=0.0, phases=None):
+        """(n_nodes, N) solutions of (z_e − H̄)x = b_e on device; returns
+        ``(X, rel_res)`` — shared by the FEAST window and the RT
+        propagator (whose per-node rhs is ``e^{z_e}·b``, via ``phases``).
+
+        Default path (``ls_precision="mixed"``): f32 Krylov inside a
+        scan-over-nodes program + f64 iterative refinement against the
+        detached honest-residual program.  ``ls_precision="f64"`` (or a
+        ``node_mesh``) takes the round-3 vmapped f64 path.
+        """
+        no = self.no
+        b_vec = np.asarray(b_vec, dtype=complex)
+        b_pair = (jnp.asarray(b_vec.real), jnp.asarray(b_vec.imag))
+        z_arr = np.asarray(z_arr)
+        diag = jnp.asarray(diag_vec)
+        hbar = self._get_hbar(f, dict_t_V, T2)
+        backend = self._backend(dict_t_V)
+        sigma_sliced = getattr(self, "_sigma_sliced", None)
+        damping = getattr(self, "ls_damping", 1.0)
+        mixed = (getattr(self, "ls_precision", "mixed") == "mixed"
+                 and backend in ("inhouse", "opt", "jacobi")
+                 and self.node_mesh is None)
+        cap = (getattr(self, "max_nodes_per_scan", 8) if mixed
+               else getattr(self, "max_nodes_per_dispatch", None))
+        if self.node_mesh is not None or not cap:
+            cap = len(z_arr)
+        ph_all = None if phases is None else np.asarray(phases)
+
+        xs, rels = [], []
+        for lo in range(0, len(z_arr), cap):
+            z_c = z_arr[lo:lo + cap]
+            z_pairs = (jnp.asarray(z_c.real), jnp.asarray(z_c.imag))
+            ph_c = None
+            if ph_all is not None:
+                p = ph_all[lo:lo + cap]
+                ph_c = (jnp.asarray(p.real), jnp.asarray(p.imag))
+            rhs64 = _broadcast_rhs(b_pair, ph_c, len(z_c))
+            if mixed:
+                x_c, rel_c = self._solve_chunk_mixed(
+                    f, dict_t_V, T2, hbar, rhs64, z_pairs, diag, nv,
+                    is_rt=is_rt, dt=dt, backend=backend, damping=damping,
+                    sigma_sliced=sigma_sliced)
+            else:
+                x_c, rel_c = self._solve_chunk_f64(
+                    f, dict_t_V, T2, hbar, b_pair, rhs64, z_pairs, diag,
+                    nv, is_rt=is_rt, dt=dt, backend=backend,
+                    damping=damping, sigma_sliced=sigma_sliced,
+                    phases=ph_c)
+            xs.append(x_c)
+            rels.append(np.atleast_1d(np.asarray(rel_c)))
+        rels = np.concatenate(rels)
+        self._warn_unconverged(rels)
+        return np.concatenate(xs, axis=0), rels
+
+    def _solve_chunk_f64(self, f, dict_t_V, T2, hbar, b_pair, rhs64,
+                         z_pairs, diag, nv, is_rt, dt, backend, damping,
+                         sigma_sliced, phases):
+        """Round-3 path: vmapped f64 solves (node-mesh shardable)."""
+        f_c, V_c, T2_c, b_c, diag_c = f, dict_t_V, T2, b_pair, diag
+        if self.node_mesh is not None:
+            from pymes_tpu.parallel import sharding as psh
+            z_pairs = psh.shard_over_nodes(z_pairs, self.node_mesh,
+                                           axis=self.node_axis)
+            f_c, V_c, T2_c, b_c, diag_c = psh.replicate(
+                (f, dict_t_V, T2, b_pair, diag), self.node_mesh)
+        (xr, xi), _ = _shifted_solve_nodes(
+            f_c, V_c, T2_c, b_c, z_pairs, diag_c, self.no, nv,
+            is_rt=is_rt, dt=dt, ls_max_iter=self.ls_max_iter,
+            ls_conv_tol=self.ls_conv_tol, hbar=hbar,
+            contract_mode=self._cm(), phases=phases,
+            linear_solver=backend, sigma_sliced=sigma_sliced,
+            ls_damping=damping)
+        # honest residuals, detached program (one sigma per node)
+        rel, _, _ = _residual_nodes(
+            f_c, V_c, T2_c, (xr, xi), rhs64, z_pairs, diag_c, self.no,
+            nv, is_rt=is_rt, dt=dt, hbar=hbar, contract_mode=self._cm(),
+            sigma_sliced=sigma_sliced)
+        return np.asarray(xr) + 1j * np.asarray(xi), rel
+
+    def _get_f32_operator(self, f, dict_t_V, T2, hbar, diag):
+        """f32 copies of the solve-invariant operator pieces, built once
+        per (f, V, T2) — reset alongside ``_hbar``."""
+        if getattr(self, "_f32_op", None) is None:
+            self._f32_op = (_cast_f32(f), _cast_f32(dict_t_V),
+                            _cast_f32(T2), _cast_f32(hbar),
+                            diag.astype(jnp.float32))
+        return self._f32_op
+
+    def _solve_chunk_mixed(self, f, dict_t_V, T2, hbar, rhs64, z_pairs,
+                           diag, nv, is_rt, dt, backend, damping,
+                           sigma_sliced):
+        """f32 scan-over-nodes Krylov + f64 iterative refinement."""
+        no = self.no
+        f3, V3, T3, h3, d3 = self._get_f32_operator(f, dict_t_V, T2,
+                                                    hbar, diag)
+        z3 = (z_pairs[0].astype(jnp.float32),
+              z_pairs[1].astype(jnp.float32))
+        # the f32 Krylov stalls near f32 rounding; each refinement pass
+        # re-solves against the f64 residual, so the inner tolerance only
+        # sets the per-pass contraction factor
+        tol32 = max(self.ls_conv_tol, 1e-5)
+        n = z_pairs[0].shape[0]
+        x_pairs = (jnp.zeros_like(rhs64[0]), jnp.zeros_like(rhs64[1]))
+        cur = rhs64
+        rel = np.full((n,), np.inf)
+        for _ in range(max(1, int(getattr(self, "ls_refine_max", 4)))):
+            rhs32 = (cur[0].astype(jnp.float32),
+                     cur[1].astype(jnp.float32))
+            # "float32" matmul precision: 6-pass bf16 = full-f32-accurate
+            # MXU GEMMs (the default single-pass bf16 contracts each
+            # refinement pass only ~1e-3)
+            with jax.default_matmul_precision("float32"):
+                dx_r, dx_i, _ = _shifted_solve_nodes_scan(
+                    f3, V3, T3, rhs32, z3, d3, no, nv, is_rt=is_rt,
+                    dt=dt, ls_max_iter=self.ls_max_iter,
+                    ls_conv_tol=tol32, hbar=h3, contract_mode="xla",
+                    linear_solver=backend, ls_damping=damping)
+            x_pairs = _accum_x(x_pairs, dx_r, dx_i)
+            rel_j, rr, ri = _residual_nodes(
+                f, dict_t_V, T2, x_pairs, rhs64, z_pairs, diag, no, nv,
+                is_rt=is_rt, dt=dt, hbar=hbar, contract_mode=self._cm(),
+                sigma_sliced=sigma_sliced)
+            rel = np.asarray(rel_j)
+            if np.all(rel <= self.ls_conv_tol):
+                break
+            cur = (rr, ri)
+        return np.asarray(x_pairs[0]) + 1j * np.asarray(x_pairs[1]), rel
+
     def _solve_all_nodes(self, f, dict_t_V, T2, b_vec, z_arr, diag_vec, nv):
-        """(n_nodes, N) solutions of (z_e − H̄)x = b, batched on device.
+        """(n_nodes, N) solutions of (z_e − H̄)x = b on device.
 
         Subclasses that override the per-node solver (e.g. dense test
         Hamiltonians) automatically fall back to a per-node loop.  With
@@ -417,50 +654,16 @@ class FEAST_EOM_CCSD(EOM_CCSD):
             return np.stack([
                 self._solve_node(f, dict_t_V, T2, b_vec, ze, diag_vec, nv)
                 for ze in np.asarray(z_arr)])
-        b_vec = np.asarray(b_vec, dtype=complex)
-        b_pair = (jnp.asarray(b_vec.real), jnp.asarray(b_vec.imag))
-        z_arr = np.asarray(z_arr)
-        diag = jnp.asarray(diag_vec)
-        cap = getattr(self, "max_nodes_per_dispatch", None)
-        if self.node_mesh is not None or not cap:
-            cap = len(z_arr)
-        xs, rels = [], []
-        for lo in range(0, len(z_arr), cap):
-            z_c = z_arr[lo:lo + cap]
-            z_pairs = (jnp.asarray(z_c.real), jnp.asarray(z_c.imag))
-            f_c, V_c, T2_c, b_c, diag_c = f, dict_t_V, T2, b_pair, diag
-            if self.node_mesh is not None:
-                from pymes_tpu.parallel import sharding as psh
-                z_pairs = psh.shard_over_nodes(z_pairs, self.node_mesh,
-                                               axis=self.node_axis)
-                f_c, V_c, T2_c, b_c, diag_c = psh.replicate(
-                    (f, dict_t_V, T2, b_pair, diag), self.node_mesh)
-            (xr, xi), _ = _shifted_solve_nodes(
-                f_c, V_c, T2_c, b_c, z_pairs, diag_c, self.no, nv,
-                ls_max_iter=self.ls_max_iter, ls_conv_tol=self.ls_conv_tol,
-                hbar=self._get_hbar(f, dict_t_V, T2),
-                contract_mode=self._cm(),
-                linear_solver=self._backend(dict_t_V),
-                sigma_sliced=getattr(self, "_sigma_sliced", None),
-                ls_damping=getattr(self, "ls_damping", 1.0))
-            # honest residuals, detached program (one sigma per node)
-            rel_res = _residual_nodes(
-                f_c, V_c, T2_c, (xr, xi), b_c, z_pairs, diag_c, self.no,
-                nv, hbar=self._get_hbar(f, dict_t_V, T2),
-                contract_mode=self._cm(),
-                sigma_sliced=getattr(self, "_sigma_sliced", None))
-            xs.append(np.asarray(xr) + 1j * np.asarray(xi))
-            rels.append(np.atleast_1d(np.asarray(rel_res)))
-        self._warn_unconverged(np.concatenate(rels))
-        return np.concatenate(xs, axis=0)
+        X, _ = self._solve_nodes_engine(f, dict_t_V, T2, b_vec, z_arr,
+                                        diag_vec, nv)
+        return X
 
     def solve(self, t_fock_dressed_pq, dict_t_V_dressed, t_T_abij):
         """FEAST iteration (reference flow, ``feast_eom_ccsd.py:72-181``)."""
         print_title("FEAST-EOM-CCSD Solver")
         time_init = time.time()
         no = self.no
-        self._hbar = None
-        self._sigma_sliced = None   # intermediates belong to THIS (f, V, T2)
+        self._reset_op_cache(t_fock_dressed_pq, dict_t_V_dressed, t_T_abij)
         f = jnp.asarray(t_fock_dressed_pq)
         T2 = jnp.asarray(t_T_abij)
         diag_ai = np.asarray(get_diag_singles(f, dict_t_V_dressed, T2))

@@ -44,8 +44,7 @@ class RT_EOM_CCSD(FEAST_EOM_CCSD):
         no = self.no
         if u_singles is None or u_doubles is None:
             raise RuntimeError("No initial state specified!")
-        self._hbar = None
-        self._sigma_sliced = None   # factorized-sigma pieces belong to THIS (f, T2)
+        self._reset_op_cache(t_fock_dressed_pq, dict_t_V_dressed, t_T_abij)
         f = jnp.asarray(t_fock_dressed_pq)
         T2 = jnp.asarray(t_T_abij)
         diag_ai = np.asarray(get_diag_singles(f, dict_t_V_dressed, T2))
@@ -73,42 +72,12 @@ class RT_EOM_CCSD(FEAST_EOM_CCSD):
                                       phase=np.exp(z[e_i]))
                 Q += node_w[e_i] * Qe
         else:
-            # all contour nodes in ONE batched device dispatch (the
-            # per-node python loop pays a full GMRES dispatch per node —
-            # 64-node RT steps vectorize exactly like FEAST windows)
-            from pymes_tpu.solver.feast_eom_ccsd import (
-                _residual_nodes, _shifted_solve_nodes)
-            b_c = b.astype(complex)
-            b_pair = (jnp.asarray(b_c.real), jnp.asarray(b_c.imag))
-            ph = np.exp(z)
-            cap = getattr(self, "max_nodes_per_dispatch", None) or len(z)
-            diag = jnp.asarray(diag_vec)
-            Qs, rels = [], []
-            for lo in range(0, len(z), cap):
-                z_c, ph_c = z[lo:lo + cap], ph[lo:lo + cap]
-                z_pairs = (jnp.asarray(z_c.real), jnp.asarray(z_c.imag))
-                phases = (jnp.asarray(ph_c.real), jnp.asarray(ph_c.imag))
-                (xr, xi), _ = _shifted_solve_nodes(
-                    f, dict_t_V_dressed, T2, b_pair, z_pairs,
-                    diag, no, nv, is_rt=True, dt=dt,
-                    ls_max_iter=self.ls_max_iter,
-                    ls_conv_tol=self.ls_conv_tol,
-                    hbar=self._get_hbar(f, dict_t_V_dressed, T2),
-                    contract_mode=self._cm(), phases=phases,
-                    linear_solver=self._backend(dict_t_V_dressed),
-                    sigma_sliced=getattr(self, "_sigma_sliced", None),
-                    ls_damping=getattr(self, "ls_damping", 1.0))
-                # honest residuals, detached program (one sigma per node)
-                rel = _residual_nodes(
-                    f, dict_t_V_dressed, T2, (xr, xi), b_pair, z_pairs,
-                    diag, no, nv, is_rt=True, dt=dt,
-                    hbar=self._get_hbar(f, dict_t_V_dressed, T2),
-                    contract_mode=self._cm(), phases=phases,
-                    sigma_sliced=getattr(self, "_sigma_sliced", None))
-                Qs.append(np.asarray(xr) + 1j * np.asarray(xi))
-                rels.append(np.atleast_1d(np.asarray(rel)))
-            self._warn_unconverged(np.concatenate(rels))
-            Qe_all = np.concatenate(Qs, axis=0)
+            # all contour nodes through the shared node engine (default:
+            # f32 scan-over-nodes Krylov + f64 refinement; the per-node
+            # rhs phases e^{z_e} fold into the broadcast rhs)
+            Qe_all, _ = self._solve_nodes_engine(
+                f, dict_t_V_dressed, T2, b.astype(complex), z, diag_vec,
+                nv, is_rt=True, dt=dt, phases=np.exp(z))
             Q = (node_w[:, None] * Qe_all).sum(axis=0)
 
         q1 = Q[:n1].reshape(nv, no)

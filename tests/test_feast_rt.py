@@ -335,13 +335,18 @@ def test_feast_ueg_no_ovvv_matches_dense():
     # level, not which root the window picked)
     eigs = {}
     for tag, Vin in (("dense", dict_V), ("no_ovvv", V_mf)):
+        # identical seeds/backends walk identical FEAST trajectories, so
+        # the dense==no-ovvv invariant holds after ANY fixed iteration
+        # count — 3 iterations test it at ~15x less cost than running
+        # the window to tol (this was the single slowest test: >25 min)
         solver = FEAST_EOM_CCSD(no, e_c=e0, e_r=0.3, n_trial=2,
-                                max_iter=50, tol=1e-8, seed=3)
+                                max_iter=3, tol=1e-12, seed=3)
         solver.ls_max_iter = 60
-        # pin ONE GMRES backend: auto would pick jsp for the dense dict
-        # but inhouse for the presliced ladder, and different iterates
-        # land in different basins on this metallic spectrum
-        solver.ls_backend = "jsp"
+        # pin ONE GMRES backend: different solvers' iterates land in
+        # different basins on this metallic spectrum.  inhouse + the
+        # default mixed precision is the production path (and ~4x
+        # cheaper here than the jsp pin this test used through round 3)
+        solver.ls_backend = "inhouse"
         eigs[tag] = np.sort(np.real(solver.solve(fock, Vin, res["t2"])))
     np.testing.assert_allclose(eigs["dense"], eigs["no_ovvv"], atol=1e-6)
 
