@@ -80,11 +80,20 @@ class DIISState(NamedTuple):
     B: jnp.ndarray      # (m, m) real Gram matrix of errs
 
 
-def init_state(dim_space: int, n_flat: int, dtype) -> DIISState:
+def init_state(dim_space: int, n_flat: int, dtype,
+               err_dtype=None) -> DIISState:
+    """``err_dtype`` (default: ``dtype``): carrier of the ERROR ring.
+    The errors only feed the Gram matrix, whose entries condition the
+    tiny bordered solve — an f32 carrier (native elementwise + native
+    reduction instead of emulated f64 over the m·N ring) perturbs the
+    DIIS coefficients at ~1e-7 relative, far below the solver's
+    self-correcting Jacobi step; the AMPLITUDE ring stays full
+    precision (the mixed output is the solver state)."""
     real_dtype = jnp.zeros((), dtype=dtype).real.dtype
     return DIISState(
         amps=jnp.zeros((dim_space, n_flat), dtype=dtype),
-        errs=jnp.zeros((dim_space, n_flat), dtype=dtype),
+        errs=jnp.zeros((dim_space, n_flat),
+                       dtype=err_dtype if err_dtype is not None else dtype),
         count=jnp.zeros((), dtype=jnp.int32),
         B=jnp.zeros((dim_space, dim_space), dtype=real_dtype),
     )
@@ -103,7 +112,11 @@ def mix(state: DIISState, err_flat: jnp.ndarray, amp_flat: jnp.ndarray):
     m = state.amps.shape[0]
     slot = state.count % m
     amps = state.amps.at[slot].set(amp_flat)
-    errs = state.errs.at[slot].set(err_flat)
+    # the error ring may carry a lower dtype (see init_state.err_dtype) —
+    # insert and take the Gram row in THAT dtype (native f32 elementwise
+    # + reduction instead of emulated f64 over the whole ring)
+    err_ins = err_flat.astype(state.errs.dtype)
+    errs = state.errs.at[slot].set(err_ins)
     count = state.count + 1
     n_valid = jnp.minimum(count, m)
 
@@ -120,7 +133,8 @@ def mix(state: DIISState, err_flat: jnp.ndarray, amp_flat: jnp.ndarray):
     # emulated-f64 eigh has larger relative error on tiny eigenvalues).
     # mul+sum, NOT a dot: XLA's emulated-f64 skinny dot lowering is ~60x
     # off roofline on TPU (5 ms vs ~0 for the elementwise form at nP=123)
-    row = jnp.real(jnp.sum(errs.conj() * err_flat[None, :], axis=1))
+    row = jnp.real(jnp.sum(errs.conj() * err_ins[None, :],
+                           axis=1)).astype(state.B.dtype)
     B_raw = state.B.at[slot, :].set(row).at[:, slot].set(row)
     mask2 = valid[:, None] * valid[None, :]
     B = B_raw * mask2
