@@ -372,7 +372,7 @@ def test_ring_ladder_ij_full_solve_oracle():
 
 
 @needs_8
-@pytest.mark.slow
+@pytest.mark.veryslow
 def test_sharded_mf_ccsd_production_cutoff8_ozaki():
     """VERDICT r3 task 6: the PRODUCTION distributed configuration —
     sector-sharded BlockLadder + OVVV gather plans + T1-dressed
