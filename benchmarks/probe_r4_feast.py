@@ -84,27 +84,56 @@ print(f"Davidson nP=123 no-ovvv: roots={roots} wall={time.time()-t0:.1f}s "
 e_c = float(roots.mean())
 e_r = float(np.ptp(roots) / 2 + 0.05)
 
+# nP=123 window on the mixed engine.  Near-real-axis contour nodes are
+# nearly singular shifted systems: GMRES(20)x20 stagnates at ~1e-1
+# (first r4 probe run).  The in-house GMRES early-exits converged
+# nodes and the scan path charges each node only ITS OWN iterations,
+# so a large outer budget only costs on the stubborn near-axis nodes.
+s = FEAST_EOM_CCSD(no, e_c=e_c, e_r=e_r, n_trial=4, max_iter=3,
+                   n_quad=8, seed=11, n_excit=2, ls_conv_tol=1e-4)
+s.contract_mode = "ozaki:7:6"
+s.ls_max_iter = 120
+s.ls_restart = 30
+for run in ("cold", "warm"):
+    t0 = time.time()
+    ev = np.sort(np.real(s.solve(fock, Vd, T2)))
+    wall = time.time() - t0
+    print(f"FEAST[mixed|{run}] nP=123: wall={wall:.1f}s ev={ev} "
+          f"max_ls_res={np.max(s.last_ls_residuals):.2e}", flush=True)
+inside = ev[(ev > e_c - e_r) & (ev < e_c + e_r)]
+k = min(len(inside), 2)
+print(f"FEAST nP=123: |mixed - davidson| = "
+      f"{np.max(np.abs(np.sort(inside)[:k] - roots[:k])):.3e}", flush=True)
+
+# mixed-vs-f64 equivalence at nP=57 (the size where the round-3 f64
+# path is recorded converging; the vmapped f64 batch pays the worst
+# node's Krylov count for every node, so the equivalence check lives
+# at the cheaper size)
+u1_, no1_, nv1_, fock1, Vd1, T2a = build(5)
+dav1 = EOM_CCSD(no1_, n_excit=2)
+dav1.max_iter = 300
+dav1.contract_mode = "ozaki:7:6"
+r1 = np.sort(np.real(dav1.solve(fock1, Vd1, T2a)))
+e_c1, e_r1 = float(r1.mean()), float(np.ptp(r1) / 2 + 0.05)
 evs = {}
-for tag, prec, mode in (("mixed", "mixed", "ozaki:7:6"),
-                        ("f64+ozaki", "f64", "ozaki:7:6")):
-    s = FEAST_EOM_CCSD(no, e_c=e_c, e_r=e_r, n_trial=4, max_iter=3,
-                       n_quad=8, seed=11, n_excit=2, ls_conv_tol=1e-4)
-    s.ls_precision = prec
-    s.contract_mode = mode
-    walls = []
+for tag, prec in (("mixed", "mixed"), ("f64+ozaki", "f64")):
+    s1 = FEAST_EOM_CCSD(no1_, e_c=e_c1, e_r=e_r1, n_trial=4, max_iter=3,
+                        n_quad=8, seed=11, n_excit=2, ls_conv_tol=1e-4)
+    s1.ls_precision = prec
+    s1.contract_mode = "ozaki:7:6"
+    s1.ls_max_iter = 40
+    s1.ls_restart = 30
     for run in ("cold", "warm"):
         t0 = time.time()
-        ev = np.sort(np.real(s.solve(fock, Vd, T2)))
-        walls.append(time.time() - t0)
-        print(f"FEAST[{tag}|{run}] nP=123: wall={walls[-1]:.1f}s ev={ev} "
-              f"max_ls_res={np.max(s.last_ls_residuals):.2e}", flush=True)
-    evs[tag] = ev[(ev > e_c - e_r) & (ev < e_c + e_r)]
-
+        ev1 = np.sort(np.real(s1.solve(fock1, Vd1, T2a)))
+        print(f"FEAST[{tag}|{run}] nP=57: wall={time.time()-t0:.1f}s "
+              f"ev={ev1} max_ls_res={np.max(s1.last_ls_residuals):.2e}",
+              flush=True)
+    evs[tag] = ev1[(ev1 > e_c1 - e_r1) & (ev1 < e_c1 + e_r1)]
 k = min(len(evs["mixed"]), len(evs["f64+ozaki"]))
-dev = np.max(np.abs(evs["mixed"][:k] - evs["f64+ozaki"][:k])) if k else np.inf
-print(f"FEAST nP=123: |mixed - f64| = {dev:.3e} "
-      f"(task-1 bar: 1e-8); |mixed - davidson| = "
-      f"{np.max(np.abs(np.sort(evs['mixed'])[:2] - roots[:2])):.3e}",
+dev = np.max(np.abs(evs["mixed"][:k] - evs["f64+ozaki"][:k])) if k \
+    else np.inf
+print(f"FEAST nP=57: |mixed - f64| = {dev:.3e} (task-1 bar: 1e-8)",
       flush=True)
 
 # ---- RT trace: >= 50 steps at nP=57, per-step cost ----

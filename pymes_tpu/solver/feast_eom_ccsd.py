@@ -281,14 +281,15 @@ def _accum_x(x_pairs, dx_r, dx_i):
             x_pairs[1] + dx_i.astype(jnp.float64))
 
 def _nodes_impl(f, dict_t_V, T2, b_pair, z_pairs, diag_vec, no, nv,
-                is_rt=False, dt=0.0, ls_max_iter=20, ls_conv_tol=1e-4,
-                hbar=None, contract_mode="xla", phases=None,
-                linear_solver="inhouse", sigma_sliced=None,
+                is_rt=False, dt=0.0, ls_max_iter=20, restart=20,
+                ls_conv_tol=1e-4, hbar=None, contract_mode="xla",
+                phases=None, linear_solver="inhouse", sigma_sliced=None,
                 ls_damping=1.0):
     def solve_one(rhs, z_pair):
         return _shifted_solve_impl(f, dict_t_V, T2, rhs, z_pair,
                                    diag_vec, no, nv, is_rt=is_rt, dt=dt,
                                    ls_max_iter=ls_max_iter,
+                                   restart=restart,
                                    ls_conv_tol=ls_conv_tol, hbar=hbar,
                                    contract_mode=contract_mode,
                                    linear_solver=linear_solver,
@@ -314,7 +315,7 @@ def _nodes_impl(f, dict_t_V, T2, b_pair, z_pairs, diag_vec, no, nv,
 # device mesh axis via ``node_mesh`` in multi-chip runs, each device
 # owning n_quad/n_dev independent GMRES solves)
 _shifted_solve_nodes = partial(jax.jit, static_argnames=(
-    "no", "nv", "is_rt", "ls_max_iter", "contract_mode",
+    "no", "nv", "is_rt", "ls_max_iter", "restart", "contract_mode",
     "linear_solver"))(_nodes_impl)
 
 
@@ -374,6 +375,11 @@ class FEAST_EOM_CCSD(EOM_CCSD):
         # is numerically identical)
         self.ls_backend = None
         self.ls_max_iter = 20
+        # GMRES(m) restart length.  The near-real-axis contour nodes are
+        # nearly singular shifted systems; restarted GMRES stagnates on
+        # them at small m — raise this (with ls_max_iter) for tight
+        # windows (each Krylov vector costs 2N of the solve dtype)
+        self.ls_restart = 20
         self.ls_conv_tol = float(ls_conv_tol)
         # Richardson damping for ls_backend="jacobi" (ω = 1 is the
         # classical Jacobi iteration; the reference's _jacobi runs ω=0.01)
@@ -497,7 +503,9 @@ class FEAST_EOM_CCSD(EOM_CCSD):
         (xr, xi), _ = _shifted_solve(
             f, dict_t_V, T2, b_pair, z_pair, diag,
             self.no, nv, is_rt=is_rt, dt=dt,
-            ls_max_iter=self.ls_max_iter, ls_conv_tol=self.ls_conv_tol,
+            ls_max_iter=self.ls_max_iter,
+            restart=int(getattr(self, "ls_restart", 20)),
+            ls_conv_tol=self.ls_conv_tol,
             hbar=self._get_hbar(f, dict_t_V, T2),
             contract_mode=self._cm(),
             linear_solver=self._backend(dict_t_V),
@@ -582,6 +590,7 @@ class FEAST_EOM_CCSD(EOM_CCSD):
         (xr, xi), _ = _shifted_solve_nodes(
             f_c, V_c, T2_c, b_c, z_pairs, diag_c, self.no, nv,
             is_rt=is_rt, dt=dt, ls_max_iter=self.ls_max_iter,
+            restart=int(getattr(self, "ls_restart", 20)),
             ls_conv_tol=self.ls_conv_tol, hbar=hbar,
             contract_mode=self._cm(), phases=phases,
             linear_solver=backend, sigma_sliced=sigma_sliced,
@@ -619,6 +628,7 @@ class FEAST_EOM_CCSD(EOM_CCSD):
         x_pairs = (jnp.zeros_like(rhs64[0]), jnp.zeros_like(rhs64[1]))
         cur = rhs64
         rel = np.full((n,), np.inf)
+        rel_prev = rel
         for _ in range(max(1, int(getattr(self, "ls_refine_max", 4)))):
             rhs32 = (cur[0].astype(jnp.float32),
                      cur[1].astype(jnp.float32))
@@ -629,6 +639,7 @@ class FEAST_EOM_CCSD(EOM_CCSD):
                 dx_r, dx_i, _ = _shifted_solve_nodes_scan(
                     f3, V3, T3, rhs32, z3, d3, no, nv, is_rt=is_rt,
                     dt=dt, ls_max_iter=self.ls_max_iter,
+                    restart=int(getattr(self, "ls_restart", 20)),
                     ls_conv_tol=tol32, hbar=h3, contract_mode="xla",
                     linear_solver=backend, ls_damping=damping)
             x_pairs = _accum_x(x_pairs, dx_r, dx_i)
@@ -639,6 +650,14 @@ class FEAST_EOM_CCSD(EOM_CCSD):
             rel = np.asarray(rel_j)
             if np.all(rel <= self.ls_conv_tol):
                 break
+            if np.max(rel) > 0.5 * np.max(rel_prev):
+                # the inner solver is STALLING (restarted GMRES stagnates
+                # on near-singular contour nodes at small restart m) —
+                # more refinement passes repeat the same stagnation;
+                # raise ls_restart/ls_max_iter instead (the caller's
+                # non-convergence warning fires on the honest residual)
+                break
+            rel_prev = rel
             cur = (rr, ri)
         return np.asarray(x_pairs[0]) + 1j * np.asarray(x_pairs[1]), rel
 
