@@ -35,6 +35,7 @@ Prints exactly one JSON line on stdout; diagnostics go to stderr.
 """
 
 import json
+import os
 import sys
 import time
 
@@ -42,6 +43,9 @@ import numpy as np
 
 REF_CPU_MS_PER_ITER = 2161.0
 ORACLE_E = -0.5120153512190824
+# schema smoke mode for the CPU test suite: 1 timed solve each, no
+# nP=219 secondary (the full driver protocol costs ~25 min on CPU)
+SMOKE = os.environ.get("PYMES_BENCH_SMOKE", "0") == "1"
 
 
 def log(*args):
@@ -121,7 +125,7 @@ def main():
     # converged-solve timing (rounds 1-3 methodology, for continuity):
     # noisy at this size — report min and spread over 5
     conv_walls = []
-    for _ in range(5):
+    for _ in range(1 if SMOKE else 5):
         t0 = time.time()
         e, n_it = solve()
         conv_walls.append(time.time() - t0)
@@ -134,7 +138,7 @@ def main():
     # SAME compiled program, delta_e is a traced scalar; delta_e=0 exits
     # early once dE hits exactly 0.0 in f64), min over 5
     fixed_walls = []
-    for _ in range(5):
+    for _ in range(1 if SMOKE else 5):
         t0 = time.time()
         e_f, n_fixed = solve(delta_e=-1.0)
         fixed_walls.append(time.time() - t0)
@@ -150,6 +154,8 @@ def main():
     # energy), ozaki:7:6 backend, fixed-iteration timing.
     secondary = None
     try:
+        if SMOKE:
+            raise RuntimeError("smoke mode: secondary skipped")
         from pymes_tpu.util import roofline
 
         t0 = time.time()
