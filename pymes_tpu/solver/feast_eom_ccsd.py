@@ -331,21 +331,26 @@ def _residual_impl(f, dict_t_V, T2, x_pairs, rhs_pairs, z_pairs, diag_vec,
     ``rhs_pairs`` is per-node, (n, N) — built by :func:`_broadcast_rhs`.
     Returns ``(rel, res_r, res_i)``: the norms AND the residual vectors
     ``r = b − (z−H)x``, which are the next right-hand sides of the
-    mixed-precision iterative refinement (VERDICT r3 task 1)."""
-    def one(x_pair, z_pair, rhs):
-        matvec, _ = _node_ops(f, dict_t_V, T2, z_pair, diag_vec, no, nv,
-                              is_rt=is_rt, dt=dt, hbar=hbar,
+    mixed-precision iterative refinement (VERDICT r3 task 1).
+
+    Sequential ``lax.map`` over nodes, like the solve program: ONE sigma
+    instance in the program regardless of node count (the 8-node vmapped
+    form crashed the axon TPU worker at nP=123, r4 probe)."""
+    def one(args):
+        xr, xi, zr, zi, br, bi = args
+        matvec, _ = _node_ops(f, dict_t_V, T2, (zr, zi), diag_vec, no,
+                              nv, is_rt=is_rt, dt=dt, hbar=hbar,
                               contract_mode=contract_mode,
                               sigma_sliced=sigma_sliced)
-        ar, ai = matvec(x_pair)
-        rr = rhs[0] - ar
-        ri = rhs[1] - ai
+        ar, ai = matvec((xr, xi))
+        rr = br - ar
+        ri = bi - ai
         res = jnp.sqrt(jnp.sum(rr * rr) + jnp.sum(ri * ri))
-        bnorm = jnp.sqrt(jnp.sum(rhs[0] ** 2) + jnp.sum(rhs[1] ** 2))
+        bnorm = jnp.sqrt(jnp.sum(br ** 2) + jnp.sum(bi ** 2))
         return res / jnp.maximum(bnorm, 1e-300), rr, ri
 
-    return jax.vmap(lambda xp, zp, rhs: one(xp, zp, rhs))(
-        x_pairs, z_pairs, rhs_pairs)
+    return jax.lax.map(one, (x_pairs[0], x_pairs[1], z_pairs[0],
+                             z_pairs[1], rhs_pairs[0], rhs_pairs[1]))
 
 
 _residual_nodes = partial(jax.jit, static_argnames=(
