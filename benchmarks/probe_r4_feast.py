@@ -85,15 +85,19 @@ e_c = float(roots.mean())
 e_r = float(np.ptp(roots) / 2 + 0.05)
 
 # nP=123 window on the mixed engine.  Near-real-axis contour nodes are
-# nearly singular shifted systems: GMRES(20)x20 stagnates at ~1e-1
-# (first r4 probe run).  The in-house GMRES early-exits converged
-# nodes and the scan path charges each node only ITS OWN iterations,
-# so a large outer budget only costs on the stubborn near-axis nodes.
+# nearly singular shifted systems sitting in a DENSE part of the H̄
+# spectrum (min diag 5.179, window ~[5.19, 5.33]): restarted GMRES with
+# a small Krylov space stagnates — GMRES(20)x20 stalled at ~1e-1 rel
+# (first r4 probe run), and restarting more doesn't help once stalled.
+# The lever is the Krylov dimension: m=120 resolves the O(tens) of
+# near-window modes in one cycle; the in-house GMRES early-exits
+# converged nodes so the budget only costs on the stubborn near-axis
+# nodes.  f32 basis at m=120 is (121, 660k)·4B ≈ 320 MB — fine in HBM.
 s = FEAST_EOM_CCSD(no, e_c=e_c, e_r=e_r, n_trial=4, max_iter=3,
                    n_quad=8, seed=11, n_excit=2, ls_conv_tol=1e-4)
 s.contract_mode = "ozaki:7:6"
-s.ls_max_iter = 120
-s.ls_restart = 30
+s.ls_max_iter = 4
+s.ls_restart = 120
 for run in ("cold", "warm"):
     t0 = time.time()
     ev = np.sort(np.real(s.solve(fock, Vd, T2)))

@@ -1,0 +1,86 @@
+"""Round-4 probe: targeted FEAST window validation at nP=123 (task 1).
+
+Skips the Davidson reference solve (r3 goldens 5.24025232/5.27604094
+are pinned) and goes straight at the two open questions:
+
+  1. Does a LARGE Krylov space (GMRES(120), f32, scan-over-nodes) close
+     the near-axis stagnation that GMRES(20)x20 and GMRES(30)x120 could
+     not (rel residuals 0.4-1.9, first r4 probe)?
+  2. Does the lax.map honest-residual program (commit 70d3f5f) survive
+     where the 8-node vmapped f64 residual crashed the TPU worker?
+
+Run: python -u benchmarks/probe_r4_feast3.py > /tmp/probe_r4_feast3.out 2>&1
+"""
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+import numpy as np
+import pymes_tpu  # noqa: F401
+import jax
+import jax.numpy as jnp
+
+from pymes_tpu.models import ueg
+from pymes_tpu.mean_field import hf
+from pymes_tpu.solver import ccd
+from pymes_tpu.solver.feast_eom_ccsd import FEAST_EOM_CCSD
+from pymes_tpu.ops.ueg_ladder import build_block_ladder, build_ovvv_plans
+from pymes_tpu.log import set_verbosity
+
+set_verbosity(-1)
+print("devices:", jax.devices(), flush=True)
+
+NEED = ('klij', 'ijab', 'abij', 'iajb', 'iabj', 'aibj', 'aijb',
+        'ijka', 'ijak', 'iajk')
+GOLD = np.array([5.24025232, 5.27604094])
+
+t_all = time.time()
+u = ueg.UEG(14, 7, 7, 0.5)
+u.init_single_basis(10)
+no, n_p = 7, u.n_spatial
+nv = n_p - no
+idx, vals = u.eval_2b_integrals(sp=2)
+d = ueg.sparse_to_blocks(idx, vals, n_p, no, names=NEED,
+                         dtype=jnp.float64)
+kin = jnp.asarray(u.kinetic_energies())
+eps_i = hf.calcOccupiedOrbE(kin, d['klij'], no)
+eps_a = hf.calcVirtualOrbE(kin, d['aibj'], d['aijb'], no, nv)
+fock = jnp.diag(jnp.concatenate([eps_i, eps_a]))
+bp_all = build_block_ladder(u, bra="all")
+blocks = ccd.CCDBlocks(klij=d['klij'], ijab=d['ijab'], abij=d['abij'],
+                       iajb=d['iajb'], iabj=d['iabj'], abcd=None,
+                       ladder=bp_all)
+res = ccd.CCD(no).solve(fock, blocks, level_shift=-1.0, max_iter=60,
+                        contract_mode="ozaki:7:6")
+T2 = jnp.asarray(res["t2 amp"])
+print(f"nP={n_p}: CCD e={res['ccd e']:.10f} setup={time.time()-t_all:.0f}s",
+      flush=True)
+Vd = {k: d[k] for k in ('klij', 'ijab', 'abij', 'iajb', 'iabj',
+                        'ijka', 'ijak', 'iajk')}
+Vd["abcd"] = None
+Vd["abcd_ladder"] = bp_all
+Vd["_ovvv_plans"] = build_ovvv_plans(u)
+
+e_c = float(GOLD.mean())
+e_r = float(np.ptp(GOLD) / 2 + 0.05)
+RESTART = int(os.environ.get("R4_LS_RESTART", 120))
+OUTER = int(os.environ.get("R4_LS_OUTER", 4))
+s = FEAST_EOM_CCSD(no, e_c=e_c, e_r=e_r, n_trial=4, max_iter=3,
+                   n_quad=8, seed=11, n_excit=2, ls_conv_tol=1e-4)
+s.contract_mode = "ozaki:7:6"
+s.ls_max_iter = OUTER
+s.ls_restart = RESTART
+for run in ("cold", "warm"):
+    t0 = time.time()
+    ev = np.sort(np.real(s.solve(fock, Vd, T2)))
+    wall = time.time() - t0
+    inside = ev[(ev > e_c - e_r) & (ev < e_c + e_r)]
+    k = min(len(inside), 2)
+    dev = (np.max(np.abs(np.sort(inside)[:k] - GOLD[:k]))
+           if k else np.inf)
+    print(f"FEAST[mixed GMRES({RESTART})x{OUTER}|{run}] nP=123: "
+          f"wall={wall:.1f}s ev={ev} max_ls_res="
+          f"{np.max(s.last_ls_residuals):.2e} |ev-gold|={dev:.3e}",
+          flush=True)
+print(f"PROBE R4 FEAST3 DONE total={time.time()-t_all:.0f}s", flush=True)

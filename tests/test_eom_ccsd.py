@@ -64,6 +64,49 @@ def test_davidson_fake_hamiltonian():
     assert np.allclose(np.sort(e), e_target, atol=1e-6)
 
 
+def test_davidson_root_tracking_mom():
+    """Maximum-overlap (MOM) root tracking: on a spectrum with a low
+    'intruder' state nearly disconnected from the guess space,
+    lowest-real selection converges to the intruder while
+    ``root_tracking="guess"`` follows the guess-connected states
+    adiabatically (the UEG H̄ at nP≥123 has exactly this structure —
+    near-degenerate pairs at ≈−0.6 far below the physical excitations
+    at ≈5.25; benchmarks/probe_r4_eom219b.py)."""
+    rng = np.random.default_rng(3)
+    no, nv, n_excit = 1, 4, 2
+    dim = nv * no + (nv * no) ** 2
+    diag = np.concatenate([[1.0, 1.1, 1.2, 1.3],
+                           2.0 + 0.1 * np.arange(16)])
+    ham = np.diag(diag)
+    coup = (rng.random((dim, dim)) - 0.5) * 0.04
+    ham = ham + (coup + coup.T) / 2
+    ham[7, 7] = -0.5  # intruder, weakly coupled to the guess coords
+
+    ev_all, vec_all = np.linalg.eigh(ham)
+    low2 = ev_all[:n_excit]
+    # guess coords are 0 and 1 (lowest eps_a - eps_i gaps)
+    ovl = np.abs(vec_all[0]) ** 2 + np.abs(vec_all[1]) ** 2
+    expected_mom = np.sort(ev_all[np.argsort(-ovl)[:n_excit]])
+    assert low2[0] < -0.4 and expected_mom[0] > 0.9  # scenario is real
+
+    fock = np.diag(np.concatenate([[0.0], diag[:nv]]))
+    dict_V = part_2_body_int(no, np.zeros((no + nv,) * 4))
+    T2 = np.zeros((nv, nv, no, no))
+
+    tracked = _MatrixEOM(no, n_excit, ham)
+    tracked.max_iter = 1000
+    tracked.max_dim = 12          # N >= max_dim + n_excit: fixed path
+    tracked.root_tracking = "guess"
+    e_tracked = np.sort(tracked.solve(fock, dict_V, T2))
+    assert np.allclose(e_tracked, expected_mom, atol=1e-6)
+
+    plain = _MatrixEOM(no, n_excit, ham)
+    plain.max_iter = 1000
+    plain.max_dim = 12
+    e_plain = np.sort(plain.solve(fock, dict_V, T2))
+    assert np.allclose(e_plain, low2, atol=1e-6)
+
+
 def test_eom_mp2():
     """EOM with MP2 amplitudes (undressed H, T2 = MP2): the reference
     documents this usage (``eom_ccsd.py:56-57``); excitations land near
