@@ -33,7 +33,9 @@ print("devices:", jax.devices(), flush=True)
 
 NEED = ('klij', 'ijab', 'abij', 'iajb', 'iabj', 'aibj', 'aijb',
         'ijka', 'ijak', 'iajk')
-GOLD = np.array([5.24025232, 5.27604094])
+# the window holds FOUR states: two ~2e-8-split degenerate pairs
+# (untracked f64 n_excit=4 Davidson, /tmp/debug_mom3.out)
+GOLD = np.array([5.24025234, 5.24025234, 5.27604094, 5.27604094])
 
 t_all = time.time()
 u = ueg.UEG(14, 7, 7, 0.5)
@@ -76,11 +78,12 @@ for run in ("cold", "warm"):
     ev = np.sort(np.real(s.solve(fock, Vd, T2)))
     wall = time.time() - t0
     inside = ev[(ev > e_c - e_r) & (ev < e_c + e_r)]
-    k = min(len(inside), 2)
+    k = min(len(inside), len(GOLD))
     dev = (np.max(np.abs(np.sort(inside)[:k] - GOLD[:k]))
            if k else np.inf)
     print(f"FEAST[mixed GMRES({RESTART})x{OUTER}|{run}] nP=123: "
           f"wall={wall:.1f}s ev={ev} max_ls_res="
-          f"{np.max(s.last_ls_residuals):.2e} |ev-gold|={dev:.3e}",
+          f"{np.max(s.last_ls_residuals):.2e} |ev-gold|={dev:.3e} "
+          f"iter_walls={[round(x, 1) for x in s.iter_walls]}",
           flush=True)
 print(f"PROBE R4 FEAST3 DONE total={time.time()-t_all:.0f}s", flush=True)

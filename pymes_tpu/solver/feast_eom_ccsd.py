@@ -715,12 +715,25 @@ class FEAST_EOM_CCSD(EOM_CCSD):
         z = self.e_c + self.e_r * np.exp(1j * theta)
 
         e_norm_prev = 1e10
+        self.iter_walls = []   # per-outer-iteration seconds (profiling)
         for it in range(self.max_iter):
+            t_iter0 = time.time()
             m = len(self.u_singles)
             Q = [np.zeros(n1 + nv * nv * no * no) for _ in range(m)]
+            # orthonormalise the trial SET (not just each vector): after a
+            # couple of filter applications all trial vectors collapse
+            # toward the dominant filtered directions, the Gram matrix B
+            # of the oblique projected problem goes numerically singular,
+            # and the Ritz values drift by ~1e-2 even with node solves
+            # converged to 1e-6 (probe_r4_feast3, nP=123).  QR preserves
+            # the span, so exact-arithmetic behavior is unchanged.
+            U_set = np.stack([np.concatenate([s.ravel(), d.ravel()])
+                              for s, d in zip(self.u_singles,
+                                              self.u_doubles)])
+            q_set = np.linalg.qr(U_set.T)[0].T
             for l in range(m):
-                self.u_singles[l], self.u_doubles[l] = normalize_amps(
-                    self.u_singles[l], self.u_doubles[l])
+                self.u_singles[l] = q_set[l, :n1].reshape(nv, no)
+                self.u_doubles[l] = q_set[l, n1:].reshape(nv, nv, no, no)
             node_weight = (w / 2 * self.e_r * np.exp(1j * theta))
             for l in range(m):
                 b = np.concatenate([self.u_singles[l].ravel(),
@@ -764,7 +777,14 @@ class FEAST_EOM_CCSD(EOM_CCSD):
                     self.u_singles.append(new[:n1].reshape(nv, no))
                     self.u_doubles.append(
                         new[n1:].reshape(nv, nv, no, no))
-            else:
+            elif getattr(self, "trial_update", "replace") == "accumulate":
+                # reference behavior (feast_eom_ccsd.py:162-166): ADD the
+                # filtered Ritz vectors onto the previous trial set.  This
+                # damps the subspace iteration — out-of-window pollution
+                # decays like (1/(1+ρ))^k instead of (ρ_out/ρ_in)^k, and a
+                # 3-iteration window solve at nP=123 stalled ~2e-2 off the
+                # true pairs with every node solve converged to 1e-6
+                # (probe_r4_feast3).  Kept for parity studies only.
                 for l in range(len(self.eigvals)):
                     upd = sum(np.real(self.eigvecs[i, l]) * Q[i]
                               for i in range(m))
@@ -772,7 +792,16 @@ class FEAST_EOM_CCSD(EOM_CCSD):
                         + upd[:n1].reshape(nv, no)
                     self.u_doubles[l] = self.u_doubles[l] \
                         + upd[n1:].reshape(nv, nv, no, no)
+            else:
+                # classical FEAST subspace iteration: REPLACE the trial
+                # set with the Ritz rotation of the filtered vectors
+                for l in range(len(self.eigvals)):
+                    upd = sum(np.real(self.eigvecs[i, l]) * Q[i]
+                              for i in range(m))
+                    self.u_singles[l] = upd[:n1].reshape(nv, no)
+                    self.u_doubles[l] = upd[n1:].reshape(nv, nv, no, no)
 
+            self.iter_walls.append(time.time() - t_iter0)
             e_norm = np.linalg.norm(self.eigvals)
             if np.abs(e_norm - e_norm_prev) < self.tol:
                 break
