@@ -70,9 +70,16 @@ def _node_ops(f, dict_t_V, T2, z_pair, diag_vec, no, nv, is_rt=False,
         # separate H instantiations: the sigma body is by far the largest
         # subgraph in the solve program and compile time scales with its
         # replication count — the axon worker's ~11-min compile watchdog
-        # kills oversized programs (benchmarks/probe_q_compile.py)
-        hs = jax.vmap(H)(jnp.stack([xr, xi]))
-        hr, hi = hs[0], hs[1]
+        # kills oversized programs (benchmarks/probe_q_compile.py).
+        # Trial-batched pairs (m, N) ride the same vmap as a 2m-row
+        # data batch (the fused Davidson applies the sigma this way).
+        if xr.ndim == 2:
+            mb = xr.shape[0]
+            hs = jax.vmap(H)(jnp.concatenate([xr, xi], axis=0))
+            hr, hi = hs[:mb], hs[mb:]
+        else:
+            hs = jax.vmap(H)(jnp.stack([xr, xi]))
+            hr, hi = hs[0], hs[1]
         if is_rt:
             # (z − i·dt·H̄)(xr + i xi)
             return (zr * xr - zi * xi + dt * hi,
@@ -161,17 +168,39 @@ def _shifted_solve_impl(f, dict_t_V, T2, b_pair, z_pair, diag_vec, no, nv,
                                 sigma_sliced=sigma_sliced)
 
     if linear_solver in ("inhouse", "jacobi", "opt"):
-        N = b_pair[0].shape[0]
+        # trial-batched rhs (m, N): the m systems STACK into one flat
+        # real-embedded vector of length 2mN — block-diagonal operator
+        # (identical per lane), so ONE Krylov polynomial serves all
+        # lanes and the iteration count tracks the worst lane; per-lane
+        # accuracy is enforced by the caller's detached honest-residual
+        # check + refinement passes, not by this solve's norm.  Chosen
+        # over per-lane-state batched GMRES because BOTH batched
+        # variants (jax.vmap-of-while and a hand-batched lock-step
+        # solver) hard-fault the axon TPU worker at nP=123 (r4 probes,
+        # 2026-08-19); this program is structurally IDENTICAL to the
+        # proven unbatched solver, just with longer rows.  The matvec
+        # still applies the sigma to all m lanes at once — the win.
+        if b_pair[0].ndim == 2:
+            mb, N = b_pair[0].shape
+
+            def unflat(v):
+                return (v[:mb * N].reshape(mb, N),
+                        v[mb * N:].reshape(mb, N))
+        else:
+            N = b_pair[0].shape[0]
+
+            def unflat(v):
+                return (v[:N], v[N:])
 
         def matvec_flat(v):
-            yr, yi = matvec((v[:N], v[N:]))
-            return jnp.concatenate([yr, yi])
+            yr, yi = matvec(unflat(v))
+            return jnp.concatenate([yr.ravel(), yi.ravel()])
 
         def precond_flat(v):
-            yr, yi = precond((v[:N], v[N:]))
-            return jnp.concatenate([yr, yi])
+            yr, yi = precond(unflat(v))
+            return jnp.concatenate([yr.ravel(), yi.ravel()])
 
-        bflat = jnp.concatenate([b_pair[0], b_pair[1]])
+        bflat = jnp.concatenate([b_pair[0].ravel(), b_pair[1].ravel()])
         if linear_solver == "jacobi":
             from pymes_tpu.ops.gmres import richardson as _rich
             # ls_max_iter counts restart-sized work units for GMRES; give
@@ -184,7 +213,7 @@ def _shifted_solve_impl(f, dict_t_V, T2, b_pair, z_pair, diag_vec, no, nv,
             xflat, rel = _gmres(matvec_flat, bflat,
                                 precond=precond_flat, tol=ls_conv_tol,
                                 restart=restart, max_outer=ls_max_iter)
-        x = (xflat[:N], xflat[N:])
+        x = unflat(xflat)
     else:
         x, _ = jax.scipy.sparse.linalg.gmres(
             matvec, b_pair, tol=ls_conv_tol, atol=0.0, restart=restart,
@@ -242,8 +271,7 @@ def _nodes_scan_impl(f, dict_t_V, T2, rhs_pairs, z_pairs, diag_vec, no, nv,
     slowest node's count (the near-real-axis nodes), wasting matvecs on
     the easy far-contour nodes.
     """
-    def one(args):
-        zr, zi, br, bi = args
+    def solve1(zr, zi, br, bi):
         (xr, xi), rel = _shifted_solve_impl(
             f, dict_t_V, T2, (br, bi), (zr, zi), diag_vec, no, nv,
             is_rt=is_rt, dt=dt, ls_max_iter=ls_max_iter, restart=restart,
@@ -251,6 +279,14 @@ def _nodes_scan_impl(f, dict_t_V, T2, rhs_pairs, z_pairs, diag_vec, no, nv,
             contract_mode=contract_mode, linear_solver=linear_solver,
             ls_damping=ls_damping)
         return xr, xi, rel
+
+    # rhs (n_nodes, N) or trial-batched (n_nodes, m, N): either rank
+    # flows through solve1 — the batched form stacks the m systems of a
+    # node into one flat GMRES whose matvec applies the sigma to all m
+    # lanes at once (see _shifted_solve_impl)
+    def one(args):
+        zr, zi, br, bi = args
+        return solve1(zr, zi, br, bi)
 
     return jax.lax.map(one, (z_pairs[0], z_pairs[1],
                              rhs_pairs[0], rhs_pairs[1]))
@@ -270,8 +306,10 @@ def _broadcast_rhs(b_pair, phases, n):
         return (jnp.broadcast_to(br, (n,) + br.shape),
                 jnp.broadcast_to(bi, (n,) + bi.shape))
     pr, pi = phases
-    return (pr[:, None] * br[None] - pi[:, None] * bi[None],
-            pr[:, None] * bi[None] + pi[:, None] * br[None])
+    pr = pr.reshape((n,) + (1,) * br.ndim)
+    pi = pi.reshape((n,) + (1,) * br.ndim)
+    return (pr * br[None] - pi * bi[None],
+            pr * bi[None] + pi * br[None])
 
 
 @jax.jit
@@ -539,6 +577,10 @@ class FEAST_EOM_CCSD(EOM_CCSD):
         """
         no = self.no
         b_vec = np.asarray(b_vec, dtype=complex)
+        # (m, N): trial-batched rhs — the mixed scan engine solves all m
+        # systems of a node in one vmapped GMRES (sigma applied to the
+        # whole batch per matvec); returns (n_nodes, m, N)
+        batched = b_vec.ndim == 2
         b_pair = (jnp.asarray(b_vec.real), jnp.asarray(b_vec.imag))
         z_arr = np.asarray(z_arr)
         diag = jnp.asarray(diag_vec)
@@ -555,6 +597,13 @@ class FEAST_EOM_CCSD(EOM_CCSD):
             cap = len(z_arr)
         ph_all = None if phases is None else np.asarray(phases)
 
+        # trial-axis chunking: each batched lane carries its own
+        # (restart+1, 2N) Krylov basis — 6 f32 lanes at restart=120,
+        # nP=123 is ~3.8 GB and hard-crashed the axon worker (r4 probe,
+        # 2026-08-19); 3 lanes ≈ 1.9 GB runs.  The sigma-sharing win
+        # saturates quickly anyway (the V-block traffic is amortised
+        # across the lanes in a chunk).
+        t_cap = int(getattr(self, "max_trials_per_batch", 3) or 0)
         xs, rels = [], []
         for lo in range(0, len(z_arr), cap):
             z_c = z_arr[lo:lo + cap]
@@ -564,11 +613,43 @@ class FEAST_EOM_CCSD(EOM_CCSD):
                 p = ph_all[lo:lo + cap]
                 ph_c = (jnp.asarray(p.real), jnp.asarray(p.imag))
             rhs64 = _broadcast_rhs(b_pair, ph_c, len(z_c))
-            if mixed:
+            if mixed and batched and t_cap and b_vec.shape[0] > t_cap:
+                # even chunks (4 with cap 3 → 2+2, not 3+1): fewer
+                # distinct program shapes to compile
+                m_all = b_vec.shape[0]
+                t_cap = -(-m_all // (-(-m_all // t_cap)))
+                xs_t, rels_t = [], []
+                for tl in range(0, m_all, t_cap):
+                    x_t, rel_t = self._solve_chunk_mixed(
+                        f, dict_t_V, T2, hbar,
+                        (rhs64[0][:, tl:tl + t_cap],
+                         rhs64[1][:, tl:tl + t_cap]), z_pairs, diag, nv,
+                        is_rt=is_rt, dt=dt, backend=backend,
+                        damping=damping, sigma_sliced=sigma_sliced)
+                    xs_t.append(x_t)
+                    rels_t.append(np.atleast_2d(np.asarray(rel_t)))
+                x_c = np.concatenate(xs_t, axis=1)
+                rel_c = np.concatenate(rels_t, axis=1)
+            elif mixed:
                 x_c, rel_c = self._solve_chunk_mixed(
                     f, dict_t_V, T2, hbar, rhs64, z_pairs, diag, nv,
                     is_rt=is_rt, dt=dt, backend=backend, damping=damping,
                     sigma_sliced=sigma_sliced)
+            elif batched:
+                # legacy f64 vmapped path has no trial axis: loop trials
+                xs_l, rels_l = [], []
+                for l in range(b_vec.shape[0]):
+                    x_l, rel_l = self._solve_chunk_f64(
+                        f, dict_t_V, T2, hbar,
+                        (b_pair[0][l], b_pair[1][l]),
+                        (rhs64[0][:, l], rhs64[1][:, l]), z_pairs, diag,
+                        nv, is_rt=is_rt, dt=dt, backend=backend,
+                        damping=damping, sigma_sliced=sigma_sliced,
+                        phases=ph_c)
+                    xs_l.append(x_l)
+                    rels_l.append(np.atleast_1d(np.asarray(rel_l)))
+                x_c = np.stack(xs_l, axis=1)
+                rel_c = np.stack(rels_l, axis=1)
             else:
                 x_c, rel_c = self._solve_chunk_f64(
                     f, dict_t_V, T2, hbar, b_pair, rhs64, z_pairs, diag,
@@ -648,10 +729,30 @@ class FEAST_EOM_CCSD(EOM_CCSD):
                     ls_conv_tol=tol32, hbar=h3, contract_mode="xla",
                     linear_solver=backend, ls_damping=damping)
             x_pairs = _accum_x(x_pairs, dx_r, dx_i)
-            rel_j, rr, ri = _residual_nodes(
-                f, dict_t_V, T2, x_pairs, rhs64, z_pairs, diag, no, nv,
-                is_rt=is_rt, dt=dt, hbar=hbar, contract_mode=self._cm(),
-                sigma_sliced=sigma_sliced)
+            # trial-batched (n, m, N): flatten (node, trial) → n·m map
+            # entries so the residual program keeps its proven
+            # one-sigma-per-entry shape (a nested trial map is an
+            # untested program on the crash-prone axon worker)
+            if rhs64[0].ndim == 3:
+                nn, mm, NN = rhs64[0].shape
+                z_res = (jnp.repeat(z_pairs[0], mm),
+                         jnp.repeat(z_pairs[1], mm))
+                rel_j, rr, ri = _residual_nodes(
+                    f, dict_t_V, T2,
+                    (x_pairs[0].reshape(nn * mm, NN),
+                     x_pairs[1].reshape(nn * mm, NN)),
+                    (rhs64[0].reshape(nn * mm, NN),
+                     rhs64[1].reshape(nn * mm, NN)),
+                    z_res, diag, no, nv, is_rt=is_rt, dt=dt, hbar=hbar,
+                    contract_mode=self._cm(), sigma_sliced=sigma_sliced)
+                rel_j = rel_j.reshape(nn, mm)
+                rr = rr.reshape(nn, mm, NN)
+                ri = ri.reshape(nn, mm, NN)
+            else:
+                rel_j, rr, ri = _residual_nodes(
+                    f, dict_t_V, T2, x_pairs, rhs64, z_pairs, diag, no,
+                    nv, is_rt=is_rt, dt=dt, hbar=hbar,
+                    contract_mode=self._cm(), sigma_sliced=sigma_sliced)
             rel = np.asarray(rel_j)
             if np.all(rel <= self.ls_conv_tol):
                 break
@@ -735,12 +836,22 @@ class FEAST_EOM_CCSD(EOM_CCSD):
                 self.u_singles[l] = q_set[l, :n1].reshape(nv, no)
                 self.u_doubles[l] = q_set[l, n1:].reshape(nv, nv, no, no)
             node_weight = (w / 2 * self.e_r * np.exp(1j * theta))
-            for l in range(m):
-                b = np.concatenate([self.u_singles[l].ravel(),
-                                    self.u_doubles[l].ravel()])
-                Qe = self._solve_all_nodes(f, dict_t_V_dressed, T2, b, z,
-                                           diag_vec, nv)  # (n_nodes, N)
-                Q[l] = Q[l] - np.real(node_weight[:, None] * Qe).sum(axis=0)
+            B = np.stack([np.concatenate([self.u_singles[l].ravel(),
+                                          self.u_doubles[l].ravel()])
+                          for l in range(m)])
+            if type(self)._solve_node is not FEAST_EOM_CCSD._solve_node:
+                # subclassed per-node solver (dense test Hamiltonians):
+                # per-trial fallback
+                X = np.stack([self._solve_all_nodes(
+                    f, dict_t_V_dressed, T2, B[l], z, diag_vec, nv)
+                    for l in range(m)], axis=1)
+            else:
+                # all m trials in one trial-batched engine call per node
+                X, _ = self._solve_nodes_engine(f, dict_t_V_dressed, T2,
+                                                B, z, diag_vec, nv)
+            for l in range(m):  # (n_nodes, m, N)
+                Q[l] = -np.real(node_weight[:, None] * X[:, l, :]).sum(
+                    axis=0)
 
             # projected oblique eigenproblem on the filtered subspace
             H_proj = np.zeros((m, m))
