@@ -1,6 +1,6 @@
 """pymes_tpu — a TPU-native many-electron (post-Hartree-Fock) framework.
 
-A ground-up JAX/XLA/Pallas rebuild with the capabilities of PyMES
+A ground-up JAX/XLA rebuild with the capabilities of PyMES
 (nickirk/pymes): MP2, (dr)CCD/DCD, CCSD/DCSD ground states with DIIS;
 EOM-CCSD (Davidson), FEAST-EOM-CCSD (contour-integral energy filtering) and
 CIF real-time EOM-CCSD excited-state dynamics; non-Hermitian transcorrelated
