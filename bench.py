@@ -113,11 +113,38 @@ def main():
                                 contract_mode="xla", layout="ijab")
         return float(out[0]), int(out[5])
 
+    # program-size metric (VERDICT r4 task 4): StableHLO op count of the
+    # lowered primary program — compile wall-clock context.  Host-side
+    # lowering, no device work.
+    import re as _re
+    t0 = time.time()
+    lowered = jax.jit(
+        lambda f, b, T: ccd.ccd_solve_jit(
+            f, b, no, T, level_shift=-1.0, delta_e=1e-8, max_iter=60,
+            contract_mode="xla", layout="ijab")).lower(fock, blocks, T0)
+    hlo_ops = len(_re.findall(r"= \"?[\w.]+\"?[( ]", lowered.as_text()))
+    log(f"primary program: {hlo_ops} stablehlo ops "
+        f"({time.time() - t0:.1f}s lowering)")
+
+    # compile-cache state (VERDICT r4 task 4): the persistent cache makes
+    # warmup 78.7 s -> 0.8 s; count new entries to tell a cold compile
+    # from a warm-cache cold-process start so the recorded warmup_s is
+    # interpretable under either state.
+    cache_dir = os.path.expanduser("~/.cache/jax_pymes")
+    def _cache_n():
+        try:
+            return len(os.listdir(cache_dir))
+        except OSError:
+            return 0
+    n_cache0 = _cache_n()
     t0 = time.time()
     e, n_it = solve()
     warmup_s = time.time() - t0
+    cache_misses = _cache_n() - n_cache0
     log(f"warmup solve: e={e:.10f} iters={n_it} "
-        f"wall={warmup_s:.1f}s (includes compile)")
+        f"wall={warmup_s:.1f}s (includes compile; "
+        f"{cache_misses} new persistent-cache entries -> "
+        f"{'COLD compile' if cache_misses else 'warm-cache start'})")
     log(f"energy vs oracle: {abs(e - ORACLE_E):.2e} (oracle {ORACLE_E})")
     if abs(e - ORACLE_E) > 1e-6:
         log("WARNING: converged energy off the golden value!")
@@ -244,6 +271,8 @@ def main():
         "converged_ms_iter_max": round(max(conv_ms), 2),
         "setup_s": round(setup_s, 1),
         "warmup_s": round(warmup_s, 1),
+        "warmup_cache_state": ("cold" if cache_misses else "warm"),
+        "program_hlo_ops": hlo_ops,
     }
     if secondary is not None:
         out["secondary"] = secondary
