@@ -24,7 +24,8 @@ def test_bench_main_emits_json(capsys, monkeypatch):
     assert {"metric", "value", "unit", "vs_baseline"} <= set(rec)
     assert set(rec) <= {"metric", "value", "unit", "vs_baseline",
                         "secondary", "method", "converged_ms_iter",
-                        "converged_ms_iter_max", "setup_s", "warmup_s"}
+                        "converged_ms_iter_max", "setup_s", "warmup_s",
+                        "warmup_cache_state", "program_hlo_ops"}
     assert rec["value"] > 0 and rec["vs_baseline"] > 0
     if "secondary" in rec:  # FLOP-bound roofline metric (may fail softly)
         assert rec["secondary"]["value"] > 0
