@@ -1,0 +1,13 @@
+#!/bin/bash
+# Round-5 TPU probe queue — strictly sequential (one TPU client at a time;
+# a killed grant wedges the axon relay for ~15 min, so never interrupt).
+# Each probe logs to /tmp/<name>.out; queue log to /tmp/r5_queue.log.
+cd "$(dirname "$0")/.."
+set -u
+for p in probe_r4_feast3 probe_r4_rt123 probe_r4_ccsd219 probe_r5_feast57 \
+         probe_r5_ccsd389; do
+  echo "=== $p start $(date +%T) ===" >> /tmp/r5_queue.log
+  timeout 5400 python -u "benchmarks/$p.py" > "/tmp/$p.out" 2>&1
+  echo "=== $p exit=$? $(date +%T) ===" >> /tmp/r5_queue.log
+done
+echo "QUEUE DONE $(date +%T)" >> /tmp/r5_queue.log
