@@ -78,6 +78,11 @@ s = FEAST_EOM_CCSD(no, e_c=e_c, e_r=e_r, n_trial=NTRIAL, max_iter=3,
 s.contract_mode = "ozaki:7:6"
 s.ls_max_iter = OUTER
 s.ls_restart = RESTART
+# one Krylov lane at a time: 3 f32 lanes x GMRES(120) at nP=123
+# (~1.9 GB of basis) crashed the axon worker on 2026-08-20 exactly as
+# 6 lanes (~3.8 GB) did in r4 — the worker's ceiling is evidently well
+# under the chip's 16 GB HBM.  1 lane is ~640 MB.
+s.max_trials_per_batch = int(os.environ.get("R4_TRIAL_CAP", 1))
 for run in ("cold", "warm"):
     t0 = time.time()
     ev = np.sort(np.real(s.solve(fock, Vd, T2)))
