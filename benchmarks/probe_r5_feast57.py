@@ -49,7 +49,13 @@ for prec in ("mixed", "f64"):
     s.ls_precision = prec
     s.ls_backend = "inhouse"
     s.contract_mode = "ozaki:7:6"
-    s.ls_max_iter = 40
+    # first r5 run kept r3's ls_max_iter=40 with the DEFAULT restart 20:
+    # the near-axis nodes stalled at rel residuals 1.3-3.9 (the starved-
+    # solve warning fired) and the window was junk — the same stagnation
+    # probe_r4_feast3 closed at nP=123 with GMRES(120).  Tight windows
+    # need the long restart; 4 outer refinement rounds suffice.
+    s.ls_restart = 120
+    s.ls_max_iter = 4
     for run in ("cold", "warm"):
         t0 = time.time()
         ev = np.sort(np.real(s.solve(fock, Vd, T2)))

@@ -532,8 +532,12 @@ class FEAST_EOM_CCSD(EOM_CCSD):
                 "FEAST shifted solve(s) not converged: nodes "
                 f"{bad.tolist()} rel. residuals "
                 f"{rel_res[bad].tolist()} (ls_conv_tol={self.ls_conv_tol}, "
-                f"ls_max_iter={self.ls_max_iter}) — raise ls_max_iter or "
-                "loosen the window", stacklevel=3)
+                f"ls_restart={self.ls_restart}, "
+                f"ls_max_iter={self.ls_max_iter}) — near-real-axis nodes "
+                "stagnate under short restarts: raise ls_restart (120 "
+                "closed a tight nP=123 window where 20 stalled at rel "
+                "residual ~1), raise ls_max_iter, or loosen the window",
+                stacklevel=3)
 
     def _solve_node(self, f, dict_t_V, T2, b_vec, ze, diag_vec, nv,
                     is_rt=False, dt=0.0, phase=None):
