@@ -50,12 +50,19 @@ for prec in ("mixed", "f64"):
     s.ls_backend = "inhouse"
     s.contract_mode = "ozaki:7:6"
     # first r5 run kept r3's ls_max_iter=40 with the DEFAULT restart 20:
-    # the near-axis nodes stalled at rel residuals 1.3-3.9 (the starved-
-    # solve warning fired) and the window was junk — the same stagnation
-    # probe_r4_feast3 closed at nP=123 with GMRES(120).  Tight windows
-    # need the long restart; 4 outer refinement rounds suffice.
-    s.ls_restart = 120
-    s.ls_max_iter = 4
+    # the mixed legs' near-axis nodes stalled at rel residuals 0.6-3.9
+    # (the starved-solve warning fired, ev junk) — the same stagnation
+    # probe_r4_feast3 closed at nP=123 with GMRES(120) — and the f64
+    # leg's 4-node vmapped inhouse program crashed the axon worker
+    # (compile watchdog class: the 2-node program took 450 s to compile,
+    # probe_q_compile; 4-node blows past the ~11 min kill).
+    if prec == "mixed":
+        s.ls_restart = 120
+        s.ls_max_iter = 4
+    else:
+        s.max_nodes_per_dispatch = 2   # compile-watchdog-safe program
+        s.ls_restart = 60
+        s.ls_max_iter = 8
     for run in ("cold", "warm"):
         t0 = time.time()
         ev = np.sort(np.real(s.solve(fock, Vd, T2)))
