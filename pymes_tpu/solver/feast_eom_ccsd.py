@@ -602,12 +602,26 @@ class FEAST_EOM_CCSD(EOM_CCSD):
         ph_all = None if phases is None else np.asarray(phases)
 
         # trial-axis chunking: each batched lane carries its own
-        # (restart+1, 2N) Krylov basis — 6 f32 lanes at restart=120,
-        # nP=123 is ~3.8 GB and hard-crashed the axon worker (r4 probe,
-        # 2026-08-19); 3 lanes ≈ 1.9 GB runs.  The sigma-sharing win
-        # saturates quickly anyway (the V-block traffic is amortised
-        # across the lanes in a chunk).
+        # (restart+1, 2N) f32 Krylov basis.  The axon worker's effective
+        # ceiling is ~2 GB — 6 lanes at restart=120, nP=123 (~3.8 GB)
+        # AND 3 lanes (~1.9 GB) both hard-crashed it (r4 2026-08-19,
+        # r5 2026-08-20); 1 lane (~640 MB) runs.  Guard the default with
+        # a Krylov-memory budget so production windows at large nP don't
+        # trip it; the sigma-sharing win saturates quickly anyway (the
+        # V-block traffic is amortised across the lanes in a chunk).
         t_cap = int(getattr(self, "max_trials_per_batch", 3) or 0)
+        if mixed and batched and t_cap > 1:
+            lane_bytes = ((int(getattr(self, "ls_restart", 20)) + 1)
+                          * 2 * b_vec.shape[-1] * 4)
+            budget = float(getattr(self, "krylov_mem_budget_bytes", 1.2e9))
+            t_auto = max(1, int(budget // max(lane_bytes, 1)))
+            if t_auto < t_cap:
+                print_logging_info(
+                    f"Krylov memory guard: {t_cap} trial lanes × "
+                    f"{lane_bytes / 1e9:.2f} GB basis exceeds the "
+                    f"{budget / 1e9:.1f} GB budget — batching "
+                    f"{t_auto} lane(s) at a time", level=2)
+                t_cap = t_auto
         xs, rels = [], []
         for lo in range(0, len(z_arr), cap):
             z_c = z_arr[lo:lo + cap]

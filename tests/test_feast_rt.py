@@ -225,6 +225,34 @@ def test_feast_molecular_h2():
     assert np.min(np.abs(np.real(eigvals) - e_dav)) < 1e-5
 
 
+def test_feast_krylov_memory_guard_preserves_answer():
+    """The Krylov memory guard (axon worker ceiling ~2 GB: 3 f32 lanes
+    at GMRES(120)/nP=123 crash, 1 lane runs) must only change the
+    trial-lane batching, never the answer: a budget that forces 1 lane
+    per chunk reproduces the unguarded window eigenvalues."""
+    n_elec, nb, e_core, e_orb, h_pq, V_pqrs = fcidump.read(
+        os.path.join(DATA, "FCIDUMP.H2.sto6g"))
+    no = n_elec // 2
+    fock = hf.construct_hf_matrix(no, h_pq, V_pqrs)
+    mycc = ccsd.CCSD(no)
+    res = mycc.solve(fock, V_pqrs, delta_e=1e-12, max_iter=100)
+    dict_t_V = part_2_body_int(no, V_pqrs)
+    fd = mycc.get_T1_dressed_fock(fock, res["t1"], dict_t_V)
+    Vd = mycc.get_T1_dressed_V(res["t1"], dict_t_V)
+    dav = eom_ccsd.EOM_CCSD(no, n_excit=1)
+    e_dav = dav.solve(fd, Vd, res["t2"])[0]
+
+    evs = {}
+    for budget in (None, 1.0):   # default vs force-1-lane
+        s = FEAST_EOM_CCSD(no, e_c=e_dav, e_r=0.2, n_trial=2,
+                           max_iter=8, tol=1e-10, seed=1)
+        s.ls_max_iter = 50
+        if budget is not None:
+            s.krylov_mem_budget_bytes = budget
+        evs[budget] = np.sort(np.real(s.solve(fd, Vd, res["t2"])))
+    assert np.allclose(evs[None], evs[1.0], atol=1e-8)
+
+
 def test_feast_starved_solve_warns():
     """A deliberately starved shifted solve (1 GMRES restart cycle on a
     ~2900-dim LiH space with a tight tolerance) must WARN about
