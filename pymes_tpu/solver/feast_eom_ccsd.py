@@ -452,6 +452,20 @@ class FEAST_EOM_CCSD(EOM_CCSD):
         # and bounds rhs memory.
         self.max_nodes_per_dispatch = 4
         self.max_nodes_per_scan = 8
+        # relative singular-value floor for the rank-revealing
+        # orthonormalisation of the filtered trial set (None = auto:
+        # 10x ls_conv_tol, floored at 1e-12).  The rational filter leaves
+        # the set's directions at wildly different scales — in-window
+        # states at |rho| ~ 1, borderline states at |rho| ~ 1e-2..1e-3,
+        # and junk at the shifted-solve noise floor — so the raw Gram
+        # matrix of the oblique projected problem is numerically singular
+        # and scipy.eig(H_proj, B) returns finite-but-wrong pairs spread
+        # across the window even with every node solve converged
+        # (probe_r5_feast3b first run: |ev-gold| 9.2e-3 at
+        # max_ls_res 9.5e-7).  An SVD of the filtered set with this
+        # noise-floor truncation preserves the span, makes B == I to
+        # machine precision, and deflates the junk directions.
+        self.svd_drop_tol = None
         self.last_ls_residuals = None
         self.u_singles = []
         self.u_doubles = []
@@ -871,17 +885,30 @@ class FEAST_EOM_CCSD(EOM_CCSD):
                 Q[l] = -np.real(node_weight[:, None] * X[:, l, :]).sum(
                     axis=0)
 
+            # rank-revealing orthonormalisation of the filtered set
+            # before the projected problem (see svd_drop_tol in __init__:
+            # the raw Gram matrix is numerically singular and poisons
+            # every Ritz value, not just the junk ones)
+            drop = (self.svd_drop_tol if self.svd_drop_tol is not None
+                    else max(10.0 * self.ls_conv_tol, 1e-12))
+            _, sv, vt = np.linalg.svd(np.stack(Q), full_matrices=False)
+            m_eff = max(int(np.count_nonzero(sv > drop * sv[0])), 1)
+            Q = [vt[i] for i in range(m_eff)]
+
             # projected oblique eigenproblem on the filtered subspace
-            H_proj = np.zeros((m, m))
-            B = np.zeros((m, m))
+            # (B == I to machine precision after the SVD; kept explicit
+            # so the oblique formulation stays visible for parity with
+            # the reference, feast_eom_ccsd.py:148)
+            H_proj = np.zeros((m_eff, m_eff))
+            B = np.zeros((m_eff, m_eff))
             W = []
-            for i in range(m):
+            for i in range(m_eff):
                 q1 = Q[i][:n1].reshape(nv, no)
                 q2 = Q[i][n1:].reshape(nv, nv, no, no)
                 w1, w2 = self._apply_H(f, dict_t_V_dressed, q1, q2, T2)
                 W.append(np.concatenate([w1.ravel(), w2.ravel()]))
-            for i in range(m):
-                for j in range(m):
+            for i in range(m_eff):
+                for j in range(m_eff):
                     H_proj[j, i] = Q[j] @ W[i]
                     B[j, i] = Q[j] @ Q[i]
             self.eigvals, self.eigvecs = eig(H_proj, B)
@@ -902,7 +929,7 @@ class FEAST_EOM_CCSD(EOM_CCSD):
             if m < self.n_trial:
                 for l in range(len(self.eigvals)):
                     new = sum(np.real(self.eigvecs[i, l]) * Q[i]
-                              for i in range(m))
+                              for i in range(len(Q)))
                     self.u_singles.append(new[:n1].reshape(nv, no))
                     self.u_doubles.append(
                         new[n1:].reshape(nv, nv, no, no))
@@ -916,7 +943,7 @@ class FEAST_EOM_CCSD(EOM_CCSD):
                 # (probe_r4_feast3).  Kept for parity studies only.
                 for l in range(len(self.eigvals)):
                     upd = sum(np.real(self.eigvecs[i, l]) * Q[i]
-                              for i in range(m))
+                              for i in range(len(Q)))
                     self.u_singles[l] = self.u_singles[l] \
                         + upd[:n1].reshape(nv, no)
                     self.u_doubles[l] = self.u_doubles[l] \
@@ -926,7 +953,7 @@ class FEAST_EOM_CCSD(EOM_CCSD):
                 # set with the Ritz rotation of the filtered vectors
                 for l in range(len(self.eigvals)):
                     upd = sum(np.real(self.eigvecs[i, l]) * Q[i]
-                              for i in range(m))
+                              for i in range(len(Q)))
                     self.u_singles[l] = upd[:n1].reshape(nv, no)
                     self.u_doubles[l] = upd[n1:].reshape(nv, nv, no, no)
 
