@@ -54,7 +54,8 @@ s.ls_max_iter = int(os.environ.get("R5_LS_OUTER", 6))
 s.ls_restart = int(os.environ.get("R5_LS_RESTART", 120))
 s.max_trials_per_batch = 1   # worker ceiling ~2 GB; 1 lane ~640 MB
 
-for run in ("cold", "warm"):
+legs = ("cold",) if os.environ.get("R5_LEGS") == "1" else ("cold", "warm")
+for run in legs:
     t0 = time.time()
     ev = np.sort(np.real(s.solve(fock, Vd, T2)))
     wall = time.time() - t0
