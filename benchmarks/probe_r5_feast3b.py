@@ -48,7 +48,8 @@ NQUAD = int(os.environ.get("R5_NQUAD", 16))
 MAXIT = int(os.environ.get("R5_MAXIT", 6))
 s = FEAST_EOM_CCSD(no, e_c=e_c, e_r=e_r, n_trial=NTRIAL, max_iter=MAXIT,
                    n_quad=NQUAD, seed=11, n_excit=NTRIAL,
-                   ls_conv_tol=1e-6, tol=1e-9)
+                   ls_conv_tol=float(os.environ.get("R5_LS_TOL", 1e-6)),
+                   tol=1e-9)
 s.contract_mode = "ozaki:7:6"
 s.ls_max_iter = int(os.environ.get("R5_LS_OUTER", 6))
 s.ls_restart = int(os.environ.get("R5_LS_RESTART", 120))
