@@ -34,6 +34,15 @@ print("devices:", jax.devices(), flush=True)
 # untracked f64 Davidson sweeps (n_excit=6/7): 5.24025234 x2,
 # 5.26162341 x2 inside the window; 5.27604094 x3 and 5.2994 x2 outside.
 GOLD = np.array([5.24025234, 5.24025234, 5.26162341, 5.26162341])
+# a spec-sweep file (probe_r5_spec123) overrides the legacy sweep list —
+# the nP=57 cross-check showed the n_excit=6/7 sweeps undercount the
+# shell-structure multiplicities, so the window's true content (and the
+# borderline states just outside) must come from a deep Davidson run
+gold_file = os.environ.get("R5_GOLD_FILE")
+if gold_file and os.path.exists(gold_file):
+    sweep = np.load(gold_file)
+    GOLD = sweep[(sweep > 5.233) & (sweep < 5.269)]
+    print(f"GOLD from {gold_file}: {GOLD}", flush=True)
 
 t_all = time.time()
 s123 = build_ueg_mf(10, contract_mode="ozaki:7:6", max_iter=60)
